@@ -1,0 +1,100 @@
+"""Shared transformer building blocks (functional JAX).
+
+Numerics match the HF reference implementations the checkpoints were trained
+with (fp32 softmax and fp32 rotary application, RMSNorm in fp32 with cast
+back), so greedy decode parity holds in bf16.
+
+Parameter layout conventions (all linear weights stored as [in, out] so the
+forward is ``x @ w`` — transposed from torch's [out, in] at load time):
+  linear:  {"w": [in, out], optional "b": [out]}
+  rmsnorm: {"scale": [dim]}
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def rms_norm(params: dict, x: jax.Array, eps: float) -> jax.Array:
+    """RMSNorm with fp32 statistics (HF Qwen2RMSNorm semantics)."""
+    dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    normed = xf * jax.lax.rsqrt(var + eps)
+    return (params["scale"] * normed.astype(dtype)).astype(dtype)
+
+
+def linear(params: dict, x: jax.Array) -> jax.Array:
+    out = x @ params["w"]
+    if "b" in params:
+        out = out + params["b"]
+    return out
+
+
+def swiglu_mlp(params: dict, x: jax.Array) -> jax.Array:
+    """gate/up/down MLP with SiLU gate (Qwen2MLP / Qwen2_5_VLMLP)."""
+    return linear(params["down"], jax.nn.silu(linear(params["gate"], x)) * linear(params["up"], x))
+
+
+def gelu_mlp(params: dict, x: jax.Array) -> jax.Array:
+    """fc1 → GELU → fc2 (vision patch merger MLP)."""
+    return linear(params["fc2"], jax.nn.gelu(linear(params["fc1"], x), approximate=False))
+
+
+def rotate_half(x: jax.Array) -> jax.Array:
+    half = x.shape[-1] // 2
+    return jnp.concatenate([-x[..., half:], x[..., :half]], axis=-1)
+
+
+def apply_rope(q: jax.Array, k: jax.Array, cos: jax.Array, sin: jax.Array):
+    """Rotary application in fp32, cast back (HF apply_rotary_pos_emb).
+
+    q/k: [..., T, H, D]; cos/sin broadcastable to [..., T, 1, D].
+    """
+    q_dtype, k_dtype = q.dtype, k.dtype
+    qf, kf = q.astype(jnp.float32), k.astype(jnp.float32)
+    cosf, sinf = cos.astype(jnp.float32), sin.astype(jnp.float32)
+    q_rot = qf * cosf + rotate_half(qf) * sinf
+    k_rot = kf * cosf + rotate_half(kf) * sinf
+    return q_rot.astype(q_dtype), k_rot.astype(k_dtype)
+
+
+def rope_inv_freq(dim: int, theta: float) -> jax.Array:
+    """Standard rotary inverse frequencies for ``dim`` (even)."""
+    return 1.0 / (theta ** (jnp.arange(0, dim, 2, dtype=jnp.float32) / dim))
+
+
+def attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    mask: jax.Array | None,
+    scale: float,
+) -> jax.Array:
+    """Grouped-query attention with fp32 softmax.
+
+    q: [B, T, Hq, D]; k/v: [B, S, Hkv, D]; Hq = Hkv * G.
+    mask: bool [B, 1, T, S] (True = attend) or None for full attention.
+    Returns [B, T, Hq, D].
+    """
+    b, t, hq, d = q.shape
+    hkv = k.shape[2]
+    groups = hq // hkv
+    qg = q.reshape(b, t, hkv, groups, d)
+
+    scores = jnp.einsum("btkgd,bskd->bkgts", qg, k,
+                        preferred_element_type=jnp.float32) * scale
+    if mask is not None:
+        scores = jnp.where(mask[:, :, None, :, :] if mask.ndim == 4 else mask,
+                           scores, jnp.finfo(jnp.float32).min)
+    weights = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(v.dtype)
+    out = jnp.einsum("bkgts,bskd->btkgd", weights, v)
+    return out.reshape(b, t, hq, d)
+
+
+def causal_mask(t: int, s: int, offset: int = 0) -> jax.Array:
+    """Bool [1, 1, t, s] causal mask; query i attends keys <= i + offset."""
+    rows = jnp.arange(t)[:, None] + offset
+    cols = jnp.arange(s)[None, :]
+    return (cols <= rows)[None, None]

@@ -1,0 +1,154 @@
+"""Qwen2.5-VL text decoder in JAX: GQA attention + M-RoPE + KV cache.
+
+M-RoPE (multimodal rotary): position ids are [3, B, T] (temporal, height,
+width planes); the rotary half-dim is partitioned by ``mrope_section`` with
+plane ``i % 3`` supplying chunk ``i`` — text tokens carry equal ids in all
+planes and reduce to standard 1D RoPE.
+
+The KV cache is a preallocated [L, B, S_max, H_kv, D] pair updated in place
+via dynamic_update_slice — static shapes, jit/pjit friendly; decode mask is
+computed from the cache cursor.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from handwritten_ocr_tpu.models.layers import (
+    apply_rope,
+    attention,
+    linear,
+    rms_norm,
+    rope_inv_freq,
+    swiglu_mlp,
+)
+from handwritten_ocr_tpu.models.qwen25vl.config import TextConfig
+
+
+class KVCache(NamedTuple):
+    """Preallocated per-layer key/value buffers plus the write cursor."""
+
+    k: jax.Array        # [L, B, S_max, H_kv, D]
+    v: jax.Array        # [L, B, S_max, H_kv, D]
+    cursor: jax.Array   # scalar int32: number of tokens already cached
+
+    @classmethod
+    def zeros(cls, num_layers: int, batch: int, max_len: int,
+              num_kv_heads: int, head_dim: int, dtype=jnp.bfloat16) -> "KVCache":
+        shape = (num_layers, batch, max_len, num_kv_heads, head_dim)
+        return cls(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype),
+                   cursor=jnp.zeros((), jnp.int32))
+
+
+def mrope_cos_sin(cfg: TextConfig, position_ids: jax.Array):
+    """cos/sin [B, T, head_dim] for rotary embedding.
+
+    position_ids [3, B, T] → multimodal M-RoPE via cfg.mrope_section;
+    position_ids [B, T]    → standard 1D RoPE (Qwen3 path).
+    """
+    inv_freq = rope_inv_freq(cfg.head_dim, cfg.rope_theta)
+    freqs = position_ids[..., None].astype(jnp.float32) * inv_freq
+    if position_ids.ndim == 2:
+        half = freqs                                                 # [B,T,hd/2]
+    else:
+        chunks = []
+        start = 0
+        for i, section in enumerate(cfg.mrope_section):
+            chunks.append(freqs[i % 3, :, :, start:start + section])
+            start += section
+        half = jnp.concatenate(chunks, axis=-1)                      # [B,T,hd/2]
+    emb = jnp.concatenate([half, half], axis=-1)                     # [B,T,hd]
+    return jnp.cos(emb), jnp.sin(emb)
+
+
+def _self_attention(
+    layer: dict,
+    cfg: TextConfig,
+    x: jax.Array,
+    cos: jax.Array,
+    sin: jax.Array,
+    layer_idx: int,
+    cache: KVCache | None,
+    key_padding: jax.Array | None,
+):
+    b, t, _ = x.shape
+    hd = cfg.head_dim
+    q = linear(layer["q"], x).reshape(b, t, cfg.num_attention_heads, hd)
+    k = linear(layer["k"], x).reshape(b, t, cfg.num_key_value_heads, hd)
+    v = linear(layer["v"], x).reshape(b, t, cfg.num_key_value_heads, hd)
+    if "q_norm" in layer:  # Qwen3: per-head-dim RMSNorm before rotary
+        q = rms_norm(layer["q_norm"], q, cfg.rms_norm_eps)
+        k = rms_norm(layer["k_norm"], k, cfg.rms_norm_eps)
+    q, k = apply_rope(q, k, cos[:, :, None, :], sin[:, :, None, :])
+
+    if cache is None:
+        keys, values = k, v
+        rows = jnp.arange(t)[:, None]
+        cols = jnp.arange(t)[None, :]
+        mask = (cols <= rows)[None, None]                            # causal
+        new_k = new_v = None
+    else:
+        new_k = jax.lax.dynamic_update_slice_in_dim(
+            cache.k[layer_idx], k.astype(cache.k.dtype), cache.cursor, axis=1)
+        new_v = jax.lax.dynamic_update_slice_in_dim(
+            cache.v[layer_idx], v.astype(cache.v.dtype), cache.cursor, axis=1)
+        keys, values = new_k, new_v
+        s_max = keys.shape[1]
+        rows = cache.cursor + jnp.arange(t)[:, None]
+        cols = jnp.arange(s_max)[None, :]
+        mask = (cols <= rows)[None, None]                            # [1,1,T,S]
+
+    if key_padding is not None:
+        mask = mask & key_padding[:, None, None, :]
+
+    out = attention(q, keys.astype(q.dtype), values.astype(q.dtype),
+                    mask, scale=hd ** -0.5)
+    return linear(layer["o"], out.reshape(b, t, -1)), new_k, new_v
+
+
+def text_forward(
+    params: dict,
+    cfg: TextConfig,
+    embeds: jax.Array,
+    position_ids: jax.Array,
+    cache: KVCache | None = None,
+    key_padding: jax.Array | None = None,
+) -> tuple[jax.Array, KVCache | None]:
+    """Decoder stack over input embeddings.
+
+    embeds: [B, T, D]; position_ids: [3, B, T];
+    key_padding: optional bool [B, S] valid-key mask (S = cache len or T).
+    Returns (hidden [B, T, D] after final norm, updated cache or None).
+    """
+    cos, sin = mrope_cos_sin(cfg, position_ids)
+    x = embeds
+    new_ks, new_vs = [], []
+    for idx, layer in enumerate(params["layers"]):
+        attn_out, nk, nv = _self_attention(
+            layer["attn"], cfg, rms_norm(layer["ln1"], x, cfg.rms_norm_eps),
+            cos, sin, idx, cache, key_padding)
+        x = x + attn_out
+        x = x + swiglu_mlp(layer["mlp"], rms_norm(layer["ln2"], x, cfg.rms_norm_eps))
+        if nk is not None:
+            new_ks.append(nk)
+            new_vs.append(nv)
+
+    x = rms_norm(params["final_norm"], x, cfg.rms_norm_eps)
+
+    new_cache = None
+    if cache is not None:
+        new_cache = KVCache(k=jnp.stack(new_ks), v=jnp.stack(new_vs),
+                            cursor=cache.cursor + embeds.shape[1])
+    return x, new_cache
+
+
+def lm_logits(params: dict, cfg: TextConfig, hidden: jax.Array) -> jax.Array:
+    """Project final hidden states to vocabulary logits (fp32)."""
+    if cfg.tie_word_embeddings:
+        w = params["embed"]["w"].T
+    else:
+        w = params["lm_head"]["w"]
+    return jnp.einsum("btd,dv->btv", hidden, w, preferred_element_type=jnp.float32)
