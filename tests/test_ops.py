@@ -1,0 +1,231 @@
+"""Golden tests for the image transform bank vs OpenCV.
+
+Parity classes (documented per transform in ops/*):
+  bit-exact      — gray, sharpen, adaptive thresholds, minAreaRect angle
+  off-by-one     — CLAHE, bicubic warp (cv2 fixed-point interpolation)
+  behavioral     — NL-means denoise, line removal + inpaint (cv2's exact
+                   algorithms are serial/LUT-bound; ours are documented
+                   approximations with property tests)
+"""
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+import jax.numpy as jnp
+
+from handwritten_ocr_tpu.ops.bank import preprocess_chain
+from handwritten_ocr_tpu.ops.clahe import clahe
+from handwritten_ocr_tpu.ops.denoise import nl_means
+from handwritten_ocr_tpu.ops.geometry import (
+    deskew_angle,
+    min_area_rect_angle,
+    rotation_matrix,
+    warp_affine_bicubic,
+)
+from handwritten_ocr_tpu.ops.gray import rgb_to_gray
+from handwritten_ocr_tpu.ops.lines import line_mask, remove_lines
+from handwritten_ocr_tpu.ops.sharpen import sharpen
+from handwritten_ocr_tpu.ops.threshold import (
+    adaptive_threshold_gaussian,
+    adaptive_threshold_mean,
+)
+
+
+def noise_img(shape, seed=0, lo=0, hi=256):
+    return np.random.default_rng(seed).integers(lo, hi, shape, dtype=np.uint8)
+
+
+def smooth_noise(shape, seed=0, mean=128, std=40):
+    rng = np.random.default_rng(seed)
+    return np.clip(rng.normal(mean, std, shape), 0, 255).astype(np.uint8)
+
+
+# ── gray ────────────────────────────────────────────────────────────
+
+def test_gray_bit_exact_fuzz():
+    img = noise_img((500, 400, 3), seed=1)
+    expected = cv2.cvtColor(img, cv2.COLOR_RGB2GRAY)
+    got = np.asarray(rgb_to_gray(jnp.asarray(img)))
+    np.testing.assert_array_equal(got, expected)
+
+
+def test_gray_passthrough():
+    img = noise_img((10, 10))
+    np.testing.assert_array_equal(np.asarray(rgb_to_gray(jnp.asarray(img))), img)
+
+
+# ── sharpen ─────────────────────────────────────────────────────────
+
+def test_sharpen_bit_exact_rgb_and_gray():
+    kernel = np.array([[0, -1, 0], [-1, 5, -1], [0, -1, 0]], np.float32)
+    for shape in ((120, 90, 3), (77, 133)):
+        img = noise_img(shape, seed=2)
+        expected = cv2.filter2D(img, -1, kernel)
+        got = np.asarray(sharpen(jnp.asarray(img)))
+        np.testing.assert_array_equal(got, expected)
+
+
+# ── adaptive thresholds ─────────────────────────────────────────────
+
+@pytest.mark.parametrize("shape", [(200, 304), (123, 89)])
+def test_adaptive_gaussian_bit_exact(shape):
+    img = smooth_noise(shape, seed=3)
+    expected = cv2.adaptiveThreshold(img, 255, cv2.ADAPTIVE_THRESH_GAUSSIAN_C,
+                                     cv2.THRESH_BINARY, 21, 10)
+    got = np.asarray(adaptive_threshold_gaussian(jnp.asarray(img)))
+    np.testing.assert_array_equal(got, expected)
+
+
+def test_adaptive_mean_bit_exact():
+    img = smooth_noise((150, 210), seed=4)
+    expected = cv2.adaptiveThreshold(img, 255, cv2.ADAPTIVE_THRESH_MEAN_C,
+                                     cv2.THRESH_BINARY, 15, -2)
+    got = np.asarray(adaptive_threshold_mean(jnp.asarray(img)))
+    np.testing.assert_array_equal(got, expected)
+
+
+# ── CLAHE ───────────────────────────────────────────────────────────
+
+@pytest.mark.parametrize("shape", [(256, 256), (200, 300), (333, 401)])
+def test_clahe_near_exact(shape):
+    img = smooth_noise(shape, seed=5)
+    expected = cv2.createCLAHE(clipLimit=3.0, tileGridSize=(8, 8)).apply(img)
+    got = np.asarray(clahe(jnp.asarray(img)))
+    diff = np.abs(expected.astype(int) - got.astype(int))
+    assert diff.max() <= 1
+    assert (diff > 0).mean() < 0.001
+
+
+# ── geometry ────────────────────────────────────────────────────────
+
+def test_min_area_rect_angle_matches_cv2():
+    for seed in range(10):
+        rng = np.random.default_rng(seed)
+        pts = (rng.normal(size=(150, 2)) @ rng.normal(size=(2, 2)) * 25
+               + 80).astype(np.int64)
+        expected = cv2.minAreaRect(pts.astype(np.float32))[-1]
+        got = min_area_rect_angle(pts)
+        assert abs(expected - got) < 1e-3, (seed, expected, got)
+
+
+def test_min_area_rect_axis_aligned():
+    pts = np.array([[0, 0], [0, 50], [20, 50], [20, 0]])
+    assert min_area_rect_angle(pts) == cv2.minAreaRect(pts.astype(np.float32))[-1]
+
+
+def test_deskew_angle_skips_sparse():
+    img = np.full((100, 100), 255, np.uint8)
+    img[:10, :10] = 0  # exactly 100 dark pixels → skip (needs > 100)
+    assert deskew_angle(img) is None
+    img[10, 10] = 0    # 101 → computes
+    assert deskew_angle(img) is not None
+
+
+def test_warp_bicubic_close_to_cv2():
+    img = smooth_noise((150, 220), seed=6, std=50)
+    matrix = rotation_matrix((110, 75), 7.3)
+    expected = cv2.warpAffine(img, matrix, (220, 150), flags=cv2.INTER_CUBIC,
+                              borderMode=cv2.BORDER_REPLICATE)
+    got = np.asarray(warp_affine_bicubic(jnp.asarray(img), matrix))
+    diff = np.abs(expected.astype(int) - got.astype(int))
+    assert diff.max() <= 2
+    assert diff.mean() < 0.01
+
+
+def test_deskew_end_to_end_matches_cv2_reference():
+    """Full deskew vs the reference algorithm run with real cv2 calls."""
+    canvas = np.full((240, 320), 255, np.uint8)
+    cv2.putText(canvas, "deskew parity", (30, 120),
+                cv2.FONT_HERSHEY_SIMPLEX, 1.0, 0, 3)
+    rot_in = cv2.warpAffine(canvas, cv2.getRotationMatrix2D((160, 120), 5.0, 1.0),
+                            (320, 240), borderValue=255)
+
+    coords = np.column_stack(np.where(rot_in < 128))
+    angle = cv2.minAreaRect(coords.astype(np.float32))[-1]
+    angle = -(90 + angle) if angle < -45 else -angle
+    h, w = rot_in.shape
+    ref = cv2.warpAffine(rot_in, cv2.getRotationMatrix2D((w // 2, h // 2), angle, 1.0),
+                         (w, h), flags=cv2.INTER_CUBIC, borderMode=cv2.BORDER_REPLICATE)
+
+    from handwritten_ocr_tpu.ops.bank import apply_deskew
+    got = np.asarray(apply_deskew(jnp.asarray(rot_in)))
+    diff = np.abs(ref.astype(int) - got.astype(int))
+    assert diff.max() <= 2
+    assert (diff > 1).mean() < 1e-3
+
+
+# ── denoise (behavioral) ────────────────────────────────────────────
+
+def test_nl_means_reduces_noise_keeps_edges():
+    rng = np.random.default_rng(7)
+    clean = np.full((48, 64), 80, np.uint8)
+    clean[:, 32:] = 180  # step edge
+    noisy = np.clip(clean.astype(float) + rng.normal(0, 12, clean.shape),
+                    0, 255).astype(np.uint8)
+    out = np.asarray(nl_means(jnp.asarray(noisy)))
+    # Noise in flat regions shrinks substantially...
+    assert out[:, :28].std() < noisy[:, :28].std() * 0.5
+    assert out[:, 36:].std() < noisy[:, 36:].std() * 0.5
+    # ...while the edge magnitude survives.
+    assert abs(float(out[:, 36:].mean()) - float(out[:, :28].mean())) > 80
+
+
+def test_nl_means_color_shape():
+    img = noise_img((32, 40, 3), seed=8)
+    out = np.asarray(nl_means(jnp.asarray(img)))
+    assert out.shape == img.shape and out.dtype == np.uint8
+
+
+# ── remove_lines (behavioral) ───────────────────────────────────────
+
+def _ruled_page():
+    img = np.full((120, 200), 245, np.uint8)
+    for y in range(20, 120, 25):           # ruled lines
+        img[y:y + 2, :] = 120
+    cv2.putText(img, "text", (40, 60), cv2.FONT_HERSHEY_SIMPLEX, 1.0, 0, 2)
+    return img
+
+
+def test_line_mask_finds_full_width_lines_only():
+    img = _ruled_page()
+    mask = np.asarray(line_mask(jnp.asarray(img)))
+    for y in range(20, 120, 25):
+        assert (mask[y:y + 2] > 0).mean() > 0.9, f"line at {y} not detected"
+    # Text strokes are short → opened away (rows 48-68 sit between lines).
+    assert (mask[48:68, 30:110] > 0).mean() < 0.05
+
+
+def test_remove_lines_inpaints_lines_keeps_text():
+    img = _ruled_page()
+    out = np.asarray(remove_lines(jnp.asarray(img)))
+    # A line row far from text becomes close to paper background.
+    assert out[95:97, 150:190].mean() > 200
+    # Text pixels (dark strokes) survive.
+    assert (out[40:65, 35:105] < 100).sum() > 50
+
+
+# ── chain driver ────────────────────────────────────────────────────
+
+def test_preprocess_chain_composition_and_modes():
+    img = jnp.asarray(noise_img((60, 80, 3), seed=9))
+    out = preprocess_chain(img, ["deskew", "high_contrast", "binarize"])
+    arr = np.asarray(out)
+    assert arr.ndim == 2                       # grayscale after high_contrast
+    assert set(np.unique(arr)) <= {0, 255}     # binary after binarize
+
+
+def test_preprocess_chain_original_and_unknown(capsys):
+    img = jnp.asarray(noise_img((20, 30), seed=10))
+    out = preprocess_chain(img, "original")
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(img))
+    out2 = preprocess_chain(img, ["nonexistent"], quiet=False)
+    np.testing.assert_array_equal(np.asarray(out2), np.asarray(img))
+    assert "Unknown transform" in capsys.readouterr().out
+
+
+def test_preprocess_chain_single_string():
+    img = jnp.asarray(noise_img((40, 56, 3), seed=11))
+    out = preprocess_chain(img, "sharpen")
+    assert np.asarray(out).shape == (40, 56, 3)
