@@ -36,8 +36,9 @@ def build_pipeline(backend: str, quiet: bool = False):
 
     if backend == "ollama":
         from handwritten_ocr_tpu.engine.ollama_client import OllamaBackend
-        from handwritten_ocr_tpu.engine.hf_ocr import HFTorchOCRBackend
-        return OCRPipeline(HFTorchOCRBackend(), OllamaBackend(), quiet=quiet)
+        from handwritten_ocr_tpu.engine.hf_ocr import FilePreprocessor, HFTorchOCRBackend
+        return OCRPipeline(HFTorchOCRBackend(), OllamaBackend(),
+                           preprocessor=FilePreprocessor(), quiet=quiet)
 
     if backend == "jax":
         from handwritten_ocr_tpu.engine.jax_engines import build_jax_pipeline

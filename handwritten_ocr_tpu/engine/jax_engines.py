@@ -1,0 +1,175 @@
+"""On-device JAX engines: the TPU-native OCR and reasoning backends.
+
+Both engines stay HBM-resident for the whole run — the reference's
+load/unload thrash (tools.py:714-725) disappears; ``release()`` is a no-op
+kept for API parity. Multi-strategy reads of one page share one batched
+vision+prefill+decode program (identical grids by construction, since every
+transform preserves the page geometry).
+
+Checkpoint discovery: ``HOCR_OLMOCR_DIR`` / ``HOCR_QWEN3_DIR`` environment
+variables point at local HF snapshots (config.json + *.safetensors +
+tokenizer files).
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+from typing import Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from handwritten_ocr_tpu import config as cfg_mod
+from handwritten_ocr_tpu.engine.protocols import PreparedImage
+from handwritten_ocr_tpu.graph.driver import OCRPipeline, strategy_label
+from handwritten_ocr_tpu.models.processor import (
+    HFTokenizer,
+    TextTokenizer,
+    llm_chat_prompt,
+    load_image_rgb,
+    pack_image,
+    vlm_chat_prompt,
+)
+
+OLMOCR_DIR_ENV = "HOCR_OLMOCR_DIR"
+QWEN3_DIR_ENV = "HOCR_QWEN3_DIR"
+
+
+class TPUPreprocessor:
+    """Runs strategy chains on device; images never touch temp files."""
+
+    def apply(self, image_path: str, strategy) -> PreparedImage:
+        from handwritten_ocr_tpu.ops.bank import preprocess_chain
+        image = jnp.asarray(load_image_rgb(image_path))
+        processed = preprocess_chain(image, strategy)
+        return PreparedImage(data=processed,
+                             strategy_label=strategy_label(strategy),
+                             source_path=image_path)
+
+
+class JaxOCRBackend:
+    """Batched VLM OCR over preprocessed device images."""
+
+    def __init__(self, model, tokenizer: TextTokenizer,
+                 min_pixels: int = cfg_mod.OCR_MIN_PIXELS,
+                 max_pixels: int = cfg_mod.OCR_MAX_PIXELS):
+        self.model = model
+        self.tokenizer = tokenizer
+        self.min_pixels = min_pixels
+        self.max_pixels = max_pixels
+
+    @classmethod
+    def from_pretrained(cls, model_dir: str | Path,
+                        dtype=jnp.bfloat16) -> "JaxOCRBackend":
+        from handwritten_ocr_tpu.models.qwen25vl.config import VLConfig
+        from handwritten_ocr_tpu.models.qwen25vl.model import VLModel
+        from handwritten_ocr_tpu.models.weights import convert_vl
+        config = VLConfig.from_pretrained_dir(model_dir)
+        params = convert_vl(model_dir, config, dtype=dtype)
+        return cls(VLModel(params, config), HFTokenizer(model_dir))
+
+    def _prompt_ids(self, prompt: str, n_image_tokens: int) -> np.ndarray:
+        config = self.model.config
+        text = vlm_chat_prompt(prompt, num_image_tokens=1)
+        # Tokenize with a single placeholder, then expand to the real count
+        # (avoids quadratic tokenizer work on thousands of pads).
+        ids = self.tokenizer.encode(text)
+        out: list[int] = []
+        for tok in ids:
+            if tok == config.image_token_id:
+                out.extend([config.image_token_id] * n_image_tokens)
+            else:
+                out.append(tok)
+        return np.array(out, dtype=np.int32)
+
+    def read_batch(self, images: Sequence, prompt: str,
+                   max_new_tokens: int) -> list[str]:
+        arrays = [np.asarray(getattr(img, "data", img)) for img in images]
+        packed = [pack_image(arr, min_pixels=self.min_pixels,
+                             max_pixels=self.max_pixels) for arr in arrays]
+        # Group identical grids into one batched forward (all strategies of
+        # one page share a grid; mixed-page batches fall into grid groups).
+        order = sorted(range(len(packed)), key=lambda i: packed[i].grid)
+        results: list[str | None] = [None] * len(packed)
+        start = 0
+        while start < len(order):
+            end = start
+            grid = packed[order[start]].grid
+            while end < len(order) and packed[order[end]].grid == grid:
+                end += 1
+            group = order[start:end]
+            patches = jnp.asarray(np.stack([packed[i].patches for i in group]))
+            ids_row = self._prompt_ids(prompt, packed[group[0]].num_llm_tokens)
+            input_ids = np.tile(ids_row, (len(group), 1))
+            gen = self.model.generate(input_ids, patches, grid, max_new_tokens)
+            tokens = np.asarray(gen.tokens)
+            lengths = np.asarray(gen.lengths)
+            for row, img_idx in enumerate(group):
+                results[img_idx] = self.tokenizer.decode(
+                    tokens[row, : lengths[row]].tolist())
+            start = end
+        return results  # type: ignore[return-value]
+
+    def read(self, image, prompt: str, max_new_tokens: int) -> str:
+        return self.read_batch([image], prompt, max_new_tokens)[0]
+
+    def release(self) -> None:
+        """No-op: the model stays HBM-resident (API parity hook)."""
+
+
+class JaxReasoningBackend:
+    """On-device Qwen3 chat decode for the critic/editor/arbitrator."""
+
+    def __init__(self, model, tokenizer: TextTokenizer,
+                 enable_thinking: bool = cfg_mod.LLM_ENABLE_THINKING):
+        self.model = model
+        self.tokenizer = tokenizer
+        self.enable_thinking = enable_thinking
+
+    @classmethod
+    def from_pretrained(cls, model_dir: str | Path,
+                        dtype=jnp.bfloat16) -> "JaxReasoningBackend":
+        from handwritten_ocr_tpu.models.qwen3 import Qwen3Config, Qwen3Model
+        from handwritten_ocr_tpu.models.weights import convert_qwen3
+        config = Qwen3Config.from_pretrained_dir(model_dir)
+        params = convert_qwen3(model_dir, config, dtype=dtype)
+        return cls(Qwen3Model(params, config), HFTokenizer(model_dir))
+
+    def chat(self, system_prompt: str, user_message: str, *,
+             temperature: float, max_tokens: int,
+             json_schema: dict | None = None) -> str:
+        # Greedy decode; ``json_schema`` relies on the parse ladder until
+        # constrained decoding lands. ``temperature`` accepted for protocol
+        # parity (reference uses 0.1 ≈ near-greedy).
+        prompt = llm_chat_prompt(system_prompt, user_message,
+                                 enable_thinking=self.enable_thinking)
+        ids = np.array([self.tokenizer.encode(prompt)], dtype=np.int32)
+        gen = self.model.generate(ids, max_tokens)
+        length = int(np.asarray(gen.lengths)[0])
+        return self.tokenizer.decode(np.asarray(gen.tokens)[0, :length].tolist())
+
+
+def build_jax_pipeline(quiet: bool = False) -> OCRPipeline:
+    """Full TPU pipeline from local checkpoints (env-var discovery)."""
+    ocr_dir = os.environ.get(OLMOCR_DIR_ENV)
+    llm_dir = os.environ.get(QWEN3_DIR_ENV)
+    missing = [name for name, val in
+               [(OLMOCR_DIR_ENV, ocr_dir), (QWEN3_DIR_ENV, llm_dir)]
+               if not val or not Path(val).exists()]
+    if missing:
+        raise SystemExit(
+            "jax backend needs local model checkpoints. Set "
+            + " and ".join(missing)
+            + " to directories containing config.json + *.safetensors + "
+              "tokenizer files (HF snapshots of "
+              f"{cfg_mod.OLMOCR_MODEL} and a Qwen3 reasoning model). "
+              "For a model-free smoke run use --backend dryrun."
+        )
+    if not quiet:
+        print(f"  [engine] Loading OCR model from {ocr_dir}...")
+    ocr = JaxOCRBackend.from_pretrained(ocr_dir)
+    if not quiet:
+        print(f"  [engine] Loading reasoning model from {llm_dir}...")
+    llm = JaxReasoningBackend.from_pretrained(llm_dir)
+    return OCRPipeline(ocr, llm, preprocessor=TPUPreprocessor(), quiet=quiet)
