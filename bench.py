@@ -1,0 +1,146 @@
+#!/usr/bin/env python3
+"""End-to-end OCR read benchmark: pages/sec/chip.
+
+Workload (one timed iteration): a batch of synthetic handwritten-style
+pages → device preprocessing chain (high_contrast + binarize, the
+reference's second strategy) → HF-order patch packing → batched VLM
+vision encode + prefill (one dispatch) → greedy decode of
+``HOCR_BENCH_DECODE`` tokens in one on-device while_loop dispatch.
+
+Model: Qwen2.5-VL **3B-class** config (real architecture/ratios; largest
+tier that fits a single 16 GB v5e chip in bf16 — the 7B flagship needs
+TP≥2, validated separately by dryrun_multichip). Weights are random bf16;
+throughput is weight-value-independent.
+
+vs_baseline: ratio against the torch-CPU reference measurement stored in
+``bench_baseline.json`` (same architecture/workload, measured by
+scripts/measure_cpu_baseline.py on this host; the reference pipeline
+itself publishes no numbers — BASELINE.md).
+
+Output: ONE json line {"metric", "value", "unit", "vs_baseline"}.
+
+Env knobs: HOCR_BENCH_SCALE=3b|tiny, HOCR_BENCH_PAGES, HOCR_BENCH_DECODE,
+HOCR_BENCH_ITERS.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent))
+
+import numpy as np
+
+
+def build_config(scale: str):
+    from handwritten_ocr_tpu.models.qwen25vl.config import (
+        TextConfig, VisionConfig, VLConfig)
+    if scale == "tiny":       # smoke mode for CPU / CI
+        return VLConfig(
+            vision=VisionConfig(depth=2, hidden_size=64, intermediate_size=128,
+                                num_heads=4, out_hidden_size=64,
+                                fullatt_block_indexes=(1,)),
+            text=TextConfig(vocab_size=8192, hidden_size=64,
+                            intermediate_size=128, num_hidden_layers=2,
+                            num_attention_heads=4, num_key_value_heads=2,
+                            mrope_section=(2, 3, 3)),
+        )
+    if scale == "3b":         # Qwen2.5-VL-3B dims
+        return VLConfig(
+            vision=VisionConfig(depth=32, hidden_size=1280,
+                                intermediate_size=3420, num_heads=16,
+                                out_hidden_size=2048,
+                                fullatt_block_indexes=(7, 15, 23, 31)),
+            text=TextConfig(vocab_size=151936, hidden_size=2048,
+                            intermediate_size=11008, num_hidden_layers=36,
+                            num_attention_heads=16, num_key_value_heads=2,
+                            mrope_section=(16, 24, 24)),
+        )
+    raise SystemExit(f"unknown HOCR_BENCH_SCALE={scale}")
+
+
+def synthetic_pages(n_pages: int, height: int = 924, width: int = 672):
+    """Paper-like pages with dark strokes (exercises the full chain)."""
+    rng = np.random.default_rng(0)
+    pages = []
+    for _ in range(n_pages):
+        page = np.clip(rng.normal(235, 8, (height, width, 3)), 180, 255)
+        for _ in range(40):  # pseudo text strokes
+            y = rng.integers(20, height - 20)
+            x = rng.integers(10, width - 120)
+            page[y:y + 3, x:x + rng.integers(30, 110)] = rng.integers(10, 60)
+        pages.append(page.astype(np.uint8))
+    return pages
+
+
+def main() -> None:
+    scale = os.environ.get("HOCR_BENCH_SCALE", "3b")
+    n_pages = int(os.environ.get("HOCR_BENCH_PAGES", "4"))
+    decode_tokens = int(os.environ.get("HOCR_BENCH_DECODE", "160"))
+    iters = int(os.environ.get("HOCR_BENCH_ITERS", "3"))
+
+    import jax
+    import jax.numpy as jnp
+
+    from handwritten_ocr_tpu.models.init import init_vl
+    from handwritten_ocr_tpu.models.processor import pack_image, vlm_chat_prompt  # noqa: F401
+    from handwritten_ocr_tpu.models.qwen25vl.model import VLModel
+    from handwritten_ocr_tpu.ops.bank import preprocess_chain
+
+    cfg = build_config(scale)
+    dtype = jnp.bfloat16 if jax.default_backend() != "cpu" else jnp.float32
+    params = init_vl(jax.random.PRNGKey(0), cfg, dtype=dtype)
+    model = VLModel(params, cfg)
+
+    pages = synthetic_pages(n_pages)
+    _ = np.asarray(jnp.ones(8))  # warm the device tunnel
+
+    preprocess = jax.jit(
+        lambda img: preprocess_chain(img, ["high_contrast", "binarize"]))
+
+    def prompt_ids(n_image_tokens: int) -> np.ndarray:
+        head = [151644, 872, 198, 151652]                 # im_start user \n vision_start
+        tail = [151653] + list(range(100, 130)) + [151645, 198, 151644, 77091, 198]
+        return np.array(head + [cfg.image_token_id] * n_image_tokens + tail,
+                        dtype=np.int32)
+
+    def one_iteration():
+        processed = [np.asarray(preprocess(jnp.asarray(p))) for p in pages]
+        packed = [pack_image(arr) for arr in processed]
+        grid = packed[0].grid
+        patches = jnp.asarray(np.stack([p.patches for p in packed])
+                              .astype(np.float32))
+        ids = np.tile(prompt_ids(packed[0].num_llm_tokens), (n_pages, 1))
+        result = model.generate(ids, patches, grid, decode_tokens)
+        return int(np.asarray(result.lengths).sum())
+
+    one_iteration()  # compile + warm
+    start = time.perf_counter()
+    for _ in range(iters):
+        one_iteration()
+    elapsed = time.perf_counter() - start
+
+    pages_per_sec = n_pages * iters / elapsed
+
+    vs_baseline = None
+    baseline_file = Path(__file__).parent / "bench_baseline.json"
+    if baseline_file.exists():
+        baseline = json.loads(baseline_file.read_text())
+        cpu = baseline.get("cpu_pages_per_sec")
+        if cpu:
+            vs_baseline = round(pages_per_sec / cpu, 2)
+
+    print(json.dumps({
+        "metric": "ocr_pages_per_sec_per_chip",
+        "value": round(pages_per_sec, 4),
+        "unit": "pages/s",
+        "vs_baseline": vs_baseline,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -22,6 +22,12 @@ import numpy as np
 
 from handwritten_ocr_tpu.text.normalize import normalize_text
 
+try:  # optional C++ fast path for the LCS table + backtrack
+    from handwritten_ocr_tpu import native as _native
+    _native_lcs_align = _native.lcs_align if _native.available() else None
+except Exception:  # pragma: no cover - native build unavailable
+    _native_lcs_align = None
+
 
 def merge_versions(versions: Sequence[str]) -> str:
     """Word-level majority-vote merge; ties become ``[a|b]`` variant markers."""
@@ -81,8 +87,12 @@ def align_to_backbone(backbone: Sequence[str], words: Sequence[str]) -> list[Opt
 
     a = enc(backbone)
     b = enc(words)
-    table = _lcs_rows(a, b)
 
+    if _native_lcs_align is not None:
+        idx = _native_lcs_align(a, b)
+        return [words[j] if j >= 0 else None for j in idx]
+
+    table = _lcs_rows(a, b)
     aligned: list[Optional[str]] = [None] * len(backbone)
     i, j = len(backbone), len(words)
     while i > 0 and j > 0:

@@ -26,8 +26,10 @@ import numpy as np
 from handwritten_ocr_tpu.text.normalize import normalize_text
 
 try:  # optional C++ fast path (built via handwritten_ocr_tpu/native)
-    from handwritten_ocr_tpu.native import edit_distance_u32 as _native_edit_distance
-except Exception:  # pragma: no cover - native lib not built
+    from handwritten_ocr_tpu import native as _native
+    _native_edit_distance = (
+        _native.edit_distance_u32 if _native.available() else None)
+except Exception:  # pragma: no cover - native build unavailable
     _native_edit_distance = None
 
 
