@@ -99,8 +99,19 @@ def main() -> None:
     pages = synthetic_pages(n_pages)
     _ = np.asarray(jnp.ones(8))  # warm the device tunnel
 
-    preprocess = jax.jit(
-        lambda img: preprocess_chain(img, ["high_contrast", "binarize"]))
+    from handwritten_ocr_tpu.models.processor import pack_image_device
+
+    # One fused dispatch for the whole batch: preprocess chain + device
+    # patch packing (no host round-trip between preprocessing and prefill).
+    @jax.jit
+    def preprocess_and_pack(batch_u8):
+        def one(img):
+            processed = preprocess_chain(img, ["high_contrast", "binarize"])
+            return pack_image_device(processed)[0]
+        return jax.vmap(one)(batch_u8)
+
+    pages_stacked = np.stack(pages)
+    _, static_grid = pack_image_device(jnp.asarray(pages[0]))
 
     def prompt_ids(n_image_tokens: int) -> np.ndarray:
         head = [151644, 872, 198, 151652]                 # im_start user \n vision_start
@@ -108,13 +119,12 @@ def main() -> None:
         return np.array(head + [cfg.image_token_id] * n_image_tokens + tail,
                         dtype=np.int32)
 
+    grid = static_grid
+    n_llm_tokens = grid[0] * grid[1] * grid[2] // 4
+    ids = np.tile(prompt_ids(n_llm_tokens), (n_pages, 1))
+
     def one_iteration():
-        processed = [np.asarray(preprocess(jnp.asarray(p))) for p in pages]
-        packed = [pack_image(arr) for arr in processed]
-        grid = packed[0].grid
-        patches = jnp.asarray(np.stack([p.patches for p in packed])
-                              .astype(np.float32))
-        ids = np.tile(prompt_ids(packed[0].num_llm_tokens), (n_pages, 1))
+        patches = preprocess_and_pack(jnp.asarray(pages_stacked))
         result = model.generate(ids, patches, grid, decode_tokens)
         return int(np.asarray(result.lengths).sum())
 

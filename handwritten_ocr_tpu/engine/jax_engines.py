@@ -37,12 +37,39 @@ QWEN3_DIR_ENV = "HOCR_QWEN3_DIR"
 
 
 class TPUPreprocessor:
-    """Runs strategy chains on device; images never touch temp files."""
+    """Runs strategy chains on device; images never touch temp files.
+
+    The page is resized to its smart-resize target at load time (host PIL
+    bicubic, HF-processor-exact), so every downstream stage — transform
+    chain, patch packing, vision encode — stays on device with static
+    28-aligned shapes and zero host round-trips.
+    """
+
+    def __init__(self, min_pixels: int = cfg_mod.OCR_MIN_PIXELS,
+                 max_pixels: int = cfg_mod.OCR_MAX_PIXELS):
+        self.min_pixels = min_pixels
+        self.max_pixels = max_pixels
+        self._cache: dict[str, jnp.ndarray] = {}
+
+    def _load_aligned(self, image_path: str) -> jnp.ndarray:
+        from handwritten_ocr_tpu.models.processor import (
+            aligned_smart_size, resize_bicubic)
+        cached = self._cache.get(image_path)
+        if cached is not None:
+            return cached
+        image = load_image_rgb(image_path)
+        target = aligned_smart_size(image.shape[0], image.shape[1],
+                                    min_pixels=self.min_pixels,
+                                    max_pixels=self.max_pixels)
+        if target != image.shape[:2]:
+            image = resize_bicubic(image, target)
+        device_image = jnp.asarray(image)
+        self._cache = {image_path: device_image}  # one page at a time
+        return device_image
 
     def apply(self, image_path: str, strategy) -> PreparedImage:
         from handwritten_ocr_tpu.ops.bank import preprocess_chain
-        image = jnp.asarray(load_image_rgb(image_path))
-        processed = preprocess_chain(image, strategy)
+        processed = preprocess_chain(self._load_aligned(image_path), strategy)
         return PreparedImage(data=processed,
                              strategy_label=strategy_label(strategy),
                              source_path=image_path)
@@ -83,24 +110,34 @@ class JaxOCRBackend:
                 out.append(tok)
         return np.array(out, dtype=np.int32)
 
+    def _pack_one(self, data):
+        """(patches, grid): on-device when possible, host fallback else."""
+        from handwritten_ocr_tpu.models.processor import pack_image_device
+        if isinstance(data, jnp.ndarray) and data.ndim in (2, 3) \
+                and data.shape[0] % 28 == 0 and data.shape[1] % 28 == 0:
+            patches, grid = pack_image_device(data)
+            return patches, grid
+        packed = pack_image(np.asarray(data), min_pixels=self.min_pixels,
+                            max_pixels=self.max_pixels)
+        return jnp.asarray(packed.patches), packed.grid
+
     def read_batch(self, images: Sequence, prompt: str,
                    max_new_tokens: int) -> list[str]:
-        arrays = [np.asarray(getattr(img, "data", img)) for img in images]
-        packed = [pack_image(arr, min_pixels=self.min_pixels,
-                             max_pixels=self.max_pixels) for arr in arrays]
+        packed = [self._pack_one(getattr(img, "data", img)) for img in images]
         # Group identical grids into one batched forward (all strategies of
         # one page share a grid; mixed-page batches fall into grid groups).
-        order = sorted(range(len(packed)), key=lambda i: packed[i].grid)
+        order = sorted(range(len(packed)), key=lambda i: packed[i][1])
         results: list[str | None] = [None] * len(packed)
         start = 0
         while start < len(order):
             end = start
-            grid = packed[order[start]].grid
-            while end < len(order) and packed[order[end]].grid == grid:
+            grid = packed[order[start]][1]
+            while end < len(order) and packed[order[end]][1] == grid:
                 end += 1
             group = order[start:end]
-            patches = jnp.asarray(np.stack([packed[i].patches for i in group]))
-            ids_row = self._prompt_ids(prompt, packed[group[0]].num_llm_tokens)
+            patches = jnp.stack([packed[i][0] for i in group])
+            n_llm_tokens = grid[0] * grid[1] * grid[2] // 4
+            ids_row = self._prompt_ids(prompt, n_llm_tokens)
             input_ids = np.tile(ids_row, (len(group), 1))
             gen = self.model.generate(input_ids, patches, grid, max_new_tokens)
             tokens = np.asarray(gen.tokens)

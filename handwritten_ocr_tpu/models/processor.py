@@ -130,6 +130,50 @@ def pack_image(
                        grid=(grid_t, grid_h, grid_w))
 
 
+def pack_image_device(image, *, patch_size: int = 14, merge_size: int = 2,
+                      temporal_patch_size: int = 2):
+    """Device-side patch packing (jnp): normalize + patchify, no resize.
+
+    ``image``: uint8 jnp [H, W] or [H, W, 3] with H, W multiples of
+    patch·merge (28) — callers resize at load time (smart_resize + PIL
+    bicubic, matching the HF processor) so the whole preprocess→pack→
+    prefill path stays on device with no host round-trip.
+    Returns (patches [S, C·T·ps·ps] float32, grid).
+    """
+    import jax.numpy as jnp
+
+    if image.ndim == 2:
+        image = jnp.stack([image] * 3, axis=-1)
+    height, width = image.shape[:2]
+    factor = patch_size * merge_size
+    if height % factor or width % factor:
+        raise ValueError(f"image {height}x{width} not {factor}-aligned")
+
+    pixels = image.astype(jnp.float32) / 255.0
+    pixels = (pixels - jnp.asarray(CLIP_MEAN)) / jnp.asarray(CLIP_STD)
+    chw = pixels.transpose(2, 0, 1)
+    frames = jnp.broadcast_to(chw, (temporal_patch_size, *chw.shape))
+
+    channels = 3
+    grid_h, grid_w = height // patch_size, width // patch_size
+    ps, merge = patch_size, merge_size
+    packed = frames.reshape(
+        1, temporal_patch_size, channels,
+        grid_h // merge, merge, ps,
+        grid_w // merge, merge, ps,
+    ).transpose(0, 3, 6, 4, 7, 2, 1, 5, 8)
+    patches = packed.reshape(grid_h * grid_w,
+                             channels * temporal_patch_size * ps * ps)
+    return patches, (1, grid_h, grid_w)
+
+
+def aligned_smart_size(height: int, width: int, factor: int = 28,
+                       min_pixels: int = 256 * 256,
+                       max_pixels: int = 1024 * 1024) -> tuple[int, int]:
+    """smart_resize target, exported for load-time resizing."""
+    return smart_resize(height, width, factor, min_pixels, max_pixels)
+
+
 # ── tokenizer protocol + chat template ──────────────────────────────
 
 @runtime_checkable

@@ -84,17 +84,31 @@ def _self_attention(
         k = rms_norm(layer["k_norm"], k, cfg.rms_norm_eps)
     q, k = apply_rope(q, k, cos[:, :, None, :], sin[:, :, None, :])
 
+    new_k = new_v = None
+    if cache is not None:
+        new_k = jax.lax.dynamic_update_slice_in_dim(
+            cache.k[layer_idx], k.astype(cache.k.dtype), cache.cursor, axis=1)
+        new_v = jax.lax.dynamic_update_slice_in_dim(
+            cache.v[layer_idx], v.astype(cache.v.dtype), cache.cursor, axis=1)
+
+    from handwritten_ocr_tpu.ops.dispatch import flash_mode
+    mode = flash_mode()
+    if t > 1 and key_padding is None and mode != "off":
+        # Prefill fast path (Pallas flash): causal over the current tokens.
+        # Valid because prefill always runs against an empty cache (the
+        # decode loop is strictly t == 1); the cache write above still
+        # records k/v for subsequent decode steps.
+        from handwritten_ocr_tpu.ops.flash_attention import flash_attention
+        out = flash_attention(q, k, v, causal=True, scale=hd ** -0.5,
+                              interpret=(mode == "interpret"))
+        return linear(layer["o"], out.reshape(b, t, -1)), new_k, new_v
+
     if cache is None:
         keys, values = k, v
         rows = jnp.arange(t)[:, None]
         cols = jnp.arange(t)[None, :]
         mask = (cols <= rows)[None, None]                            # causal
-        new_k = new_v = None
     else:
-        new_k = jax.lax.dynamic_update_slice_in_dim(
-            cache.k[layer_idx], k.astype(cache.k.dtype), cache.cursor, axis=1)
-        new_v = jax.lax.dynamic_update_slice_in_dim(
-            cache.v[layer_idx], v.astype(cache.v.dtype), cache.cursor, axis=1)
         keys, values = new_k, new_v
         s_max = keys.shape[1]
         rows = cache.cursor + jnp.arange(t)[:, None]

@@ -140,9 +140,17 @@ def _split_qkv(params: dict, x: jax.Array, num_heads: int) -> tuple[jax.Array, .
 def _attend_full(params: dict, cfg: VisionConfig, x: jax.Array,
                  cos: jax.Array, sin: jax.Array) -> jax.Array:
     """Global attention over the whole image sequence."""
+    from handwritten_ocr_tpu.ops.dispatch import flash_mode
+
     q, k, v = _split_qkv(params, x, cfg.num_heads)
     q, k = apply_rope(q, k, cos[None, :, None, :], sin[None, :, None, :])
-    out = attention(q, k, v, mask=None, scale=cfg.head_dim ** -0.5)
+    mode = flash_mode()
+    if mode != "off":
+        from handwritten_ocr_tpu.ops.flash_attention import flash_attention
+        out = flash_attention(q, k, v, scale=cfg.head_dim ** -0.5,
+                              interpret=(mode == "interpret"))
+    else:
+        out = attention(q, k, v, mask=None, scale=cfg.head_dim ** -0.5)
     return linear(params["proj"], out.reshape(*x.shape[:-1], -1))
 
 

@@ -88,17 +88,21 @@ def main() -> None:
         prefill_s = time.perf_counter() - t0
     print(f"prefill ({ids.shape[1]} tokens): {prefill_s:.1f}s", flush=True)
 
-    # 4. per-step decode cost over a short measured run.
-    decode_steps = 4
-    with torch.no_grad():
-        t0 = time.perf_counter()
-        generated = model.generate(
-            input_ids=ids, pixel_values=pixel_values, image_grid_thw=grid,
-            max_new_tokens=decode_steps + 1, do_sample=False)
-        gen_s = time.perf_counter() - t0
-    # generate() repeats the prefill; isolate the per-step cost.
-    step_s = max((gen_s - prefill_s) / decode_steps, 1e-3)
-    print(f"decode: {step_s:.2f}s/token", flush=True)
+    # 4. per-step decode cost: difference of two short generates (each
+    # includes one prefill; the delta isolates pure decode steps).
+    def timed_generate(n_new: int) -> float:
+        with torch.no_grad():
+            t0 = time.perf_counter()
+            model.generate(input_ids=ids, pixel_values=pixel_values,
+                           image_grid_thw=grid, max_new_tokens=n_new,
+                           do_sample=False)
+            return time.perf_counter() - t0
+
+    gen_short = timed_generate(1)
+    gen_long = timed_generate(5)
+    step_s = max((gen_long - gen_short) / 4, 1e-3)
+    print(f"decode: {step_s:.2f}s/token "
+          f"(gen1={gen_short:.1f}s gen5={gen_long:.1f}s)", flush=True)
 
     decode_tokens = 160
     page_s = preprocess_s + prefill_s + decode_tokens * step_s

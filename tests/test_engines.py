@@ -176,3 +176,25 @@ def test_build_jax_pipeline_missing_env(monkeypatch):
     monkeypatch.delenv("HOCR_QWEN3_DIR", raising=False)
     with pytest.raises(SystemExit, match="HOCR_OLMOCR_DIR"):
         build_jax_pipeline()
+
+
+def test_pack_image_device_matches_host():
+    """Device packing is numerically identical to the HF-order host pack."""
+    from handwritten_ocr_tpu.models.processor import pack_image, pack_image_device
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (56, 84, 3), dtype=np.uint8)
+    host = pack_image(img, do_resize=False)
+    dev_patches, dev_grid = pack_image_device(jnp.asarray(img))
+    assert dev_grid == host.grid
+    np.testing.assert_allclose(np.asarray(dev_patches), host.patches,
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_pack_image_device_grayscale_and_alignment():
+    from handwritten_ocr_tpu.models.processor import pack_image_device
+    img = jnp.zeros((56, 56), jnp.uint8)
+    patches, grid = pack_image_device(img)
+    assert grid == (1, 4, 4)
+    assert patches.shape == (16, 3 * 2 * 14 * 14)
+    with pytest.raises(ValueError, match="not 28-aligned"):
+        pack_image_device(jnp.zeros((30, 56), jnp.uint8))

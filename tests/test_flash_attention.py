@@ -1,0 +1,70 @@
+"""Flash-attention kernel parity vs the reference jnp attention.
+
+Runs the Pallas kernel in interpreter mode on CPU (compiled-mode execution
+is exercised on the real chip by bench/integration runs).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from handwritten_ocr_tpu.models.layers import attention, causal_mask
+from handwritten_ocr_tpu.ops.flash_attention import flash_attention
+
+
+def make_qkv(b, t, s, hq, hkv, d, seed=0):
+    rng = np.random.default_rng(seed)
+    q = rng.standard_normal((b, t, hq, d)).astype(np.float32)
+    k = rng.standard_normal((b, s, hkv, d)).astype(np.float32)
+    v = rng.standard_normal((b, s, hkv, d)).astype(np.float32)
+    return jnp.asarray(q), jnp.asarray(k), jnp.asarray(v)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_flash_matches_reference_aligned(causal):
+    q, k, v = make_qkv(2, 256, 256, 4, 2, 64)
+    mask = causal_mask(256, 256) if causal else None
+    expected = attention(q, k, v, mask, scale=64 ** -0.5)
+    got = flash_attention(q, k, v, causal=causal, block_q=128, block_k=128,
+                          interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_flash_ragged_kv_padding():
+    # S=200 is not a block multiple: kernel pads to 256 and masks the tail.
+    q, k, v = make_qkv(1, 200, 200, 2, 2, 32, seed=1)
+    expected = attention(q, k, v, None, scale=32 ** -0.5)
+    got = flash_attention(q, k, v, block_q=128, block_k=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_flash_causal_ragged():
+    q, k, v = make_qkv(1, 130, 130, 2, 1, 32, seed=2)
+    expected = attention(q, k, v, causal_mask(130, 130), scale=32 ** -0.5)
+    got = flash_attention(q, k, v, causal=True, block_q=64, block_k=64,
+                          interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_flash_gqa_grouping():
+    # 8 q heads over 2 kv heads: grouping must map head h -> kv h//4.
+    q, k, v = make_qkv(1, 64, 64, 8, 2, 32, seed=3)
+    expected = attention(q, k, v, None, scale=32 ** -0.5)
+    got = flash_attention(q, k, v, block_q=64, block_k=64, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_flash_bf16_io():
+    q, k, v = make_qkv(1, 128, 128, 2, 2, 64, seed=4)
+    q16, k16, v16 = (x.astype(jnp.bfloat16) for x in (q, k, v))
+    got = flash_attention(q16, k16, v16, interpret=True)
+    assert got.dtype == jnp.bfloat16
+    expected = attention(q16, k16, v16, None, scale=64 ** -0.5)
+    np.testing.assert_allclose(np.asarray(got, dtype=np.float32),
+                               np.asarray(expected, dtype=np.float32),
+                               rtol=2e-2, atol=2e-2)
