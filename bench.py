@@ -94,6 +94,9 @@ def main() -> None:
     cfg = build_config(scale)
     dtype = jnp.bfloat16 if jax.default_backend() != "cpu" else jnp.float32
     params = init_vl(jax.random.PRNGKey(0), cfg, dtype=dtype)
+    if os.environ.get("HOCR_BENCH_QUANT") == "int8":
+        from handwritten_ocr_tpu.models.quant import quantize_tree
+        params = quantize_tree(params)
     model = VLModel(params, cfg)
 
     pages = synthetic_pages(n_pages)

@@ -61,6 +61,7 @@ def transcribe_single(
     max_iterations: int | None = None,
     accept_threshold: int | None = None,
     quiet: bool = False,
+    snapshot: bool = False,
 ) -> Path:
     """Transcribe one image and persist all artifacts; returns txt path."""
     from handwritten_ocr_tpu import config
@@ -88,7 +89,9 @@ def transcribe_single(
         start_time=time.monotonic(),
     )
 
-    final_state = pipeline.run(state)
+    snapshot_path = str(output_dir / f"{name}_state.json") if snapshot else None
+    final_state = pipeline.run(state, snapshot_path=snapshot_path,
+                               resume=snapshot)
 
     trace = Trace.from_events(final_state["trace_events"])
 
@@ -160,6 +163,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
                              "'dryrun' is a deterministic model-free smoke mode)")
     parser.add_argument("--skip-existing", action="store_true",
                         help="Batch mode: skip pages whose transcription already exists")
+    parser.add_argument("--snapshot", action="store_true",
+                        help="Write per-node state snapshots and resume "
+                             "crashed pages from the last completed node")
+    parser.add_argument("--profile", type=Path, default=None, metavar="DIR",
+                        help="Capture a jax.profiler trace of the run into DIR")
     parser.add_argument("--quiet", action="store_true",
                         help="Silence per-step console output")
     return parser
@@ -183,6 +191,26 @@ def main(argv: list[str] | None = None, pipeline=None) -> None:
     if pipeline is None:
         pipeline = build_pipeline(args.backend, quiet=args.quiet)
 
+    profile_ctx = None
+    if args.profile is not None:
+        try:
+            import jax.profiler
+            profile_ctx = jax.profiler.trace(str(args.profile))
+            profile_ctx.__enter__()
+        except Exception as err:  # backend init can fail on model-free runs
+            print(f"Warning: profiler unavailable ({err}); continuing without",
+                  file=sys.stderr)
+            profile_ctx = None
+
+    try:
+        _run(args, input_path, output_dir, pipeline)
+    finally:
+        if profile_ctx is not None:
+            profile_ctx.__exit__(None, None, None)
+            print(f"Profiler trace saved to {args.profile}")
+
+
+def _run(args, input_path: Path, output_dir: Path, pipeline) -> None:
     if input_path.is_file():
         transcribe_single(
             image_path=input_path,
@@ -192,6 +220,7 @@ def main(argv: list[str] | None = None, pipeline=None) -> None:
             max_iterations=args.max_iterations,
             accept_threshold=args.accept_threshold,
             quiet=args.quiet,
+            snapshot=args.snapshot,
         )
         return
 
@@ -215,6 +244,7 @@ def main(argv: list[str] | None = None, pipeline=None) -> None:
             max_iterations=args.max_iterations,
             accept_threshold=args.accept_threshold,
             quiet=args.quiet,
+            snapshot=args.snapshot,
         )
 
     print(f"\nAll done. Results saved to {output_dir}")

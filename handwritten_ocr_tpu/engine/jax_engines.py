@@ -17,6 +17,7 @@ import os
 from pathlib import Path
 from typing import Sequence
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -76,7 +77,14 @@ class TPUPreprocessor:
 
 
 class JaxOCRBackend:
-    """Batched VLM OCR over preprocessed device images."""
+    """Batched VLM OCR over preprocessed device images.
+
+    With :meth:`shard`, the engine runs multi-chip: model parameters get
+    Megatron-style tensor parallelism over the mesh's "model" axis and the
+    page batch is split over "data" — GSPMD inserts the collectives; the
+    batched read path is unchanged (BASELINE config #5: batch folders
+    sharded across chips).
+    """
 
     def __init__(self, model, tokenizer: TextTokenizer,
                  min_pixels: int = cfg_mod.OCR_MIN_PIXELS,
@@ -85,15 +93,37 @@ class JaxOCRBackend:
         self.tokenizer = tokenizer
         self.min_pixels = min_pixels
         self.max_pixels = max_pixels
+        self.mesh = None
+
+    def shard(self, mesh, fsdp: bool = False) -> "JaxOCRBackend":
+        """Place model params on ``mesh`` (TP over "model", opt. FSDP)."""
+        from handwritten_ocr_tpu.parallel.sharding import shard_params
+        self.model.params = shard_params(mesh, self.model.params, fsdp=fsdp)
+        self.mesh = mesh
+        return self
+
+    def _place_batch(self, patches):
+        """Shard the page batch over the mesh's "data" axis when sharded."""
+        if self.mesh is None:
+            return patches
+        from handwritten_ocr_tpu.parallel.sharding import data_sharding
+        data_size = self.mesh.shape["data"]
+        batch = patches.shape[0]
+        if batch % data_size:
+            return patches  # ragged remainder: replicate rather than fail
+        return jax.device_put(patches, data_sharding(self.mesh, patches.ndim))
 
     @classmethod
-    def from_pretrained(cls, model_dir: str | Path,
-                        dtype=jnp.bfloat16) -> "JaxOCRBackend":
+    def from_pretrained(cls, model_dir: str | Path, dtype=jnp.bfloat16,
+                        quantize: str | None = None) -> "JaxOCRBackend":
         from handwritten_ocr_tpu.models.qwen25vl.config import VLConfig
         from handwritten_ocr_tpu.models.qwen25vl.model import VLModel
         from handwritten_ocr_tpu.models.weights import convert_vl
         config = VLConfig.from_pretrained_dir(model_dir)
         params = convert_vl(model_dir, config, dtype=dtype)
+        if quantize == "int8":
+            from handwritten_ocr_tpu.models.quant import quantize_tree
+            params = quantize_tree(params)
         return cls(VLModel(params, config), HFTokenizer(model_dir))
 
     def _prompt_ids(self, prompt: str, n_image_tokens: int) -> np.ndarray:
@@ -135,11 +165,17 @@ class JaxOCRBackend:
             while end < len(order) and packed[order[end]][1] == grid:
                 end += 1
             group = order[start:end]
-            patches = jnp.stack([packed[i][0] for i in group])
+            patches = self._place_batch(jnp.stack([packed[i][0] for i in group]))
             n_llm_tokens = grid[0] * grid[1] * grid[2] // 4
             ids_row = self._prompt_ids(prompt, n_llm_tokens)
             input_ids = np.tile(ids_row, (len(group), 1))
-            gen = self.model.generate(input_ids, patches, grid, max_new_tokens)
+            if self.mesh is not None:
+                with self.mesh:
+                    gen = self.model.generate(input_ids, patches, grid,
+                                              max_new_tokens)
+            else:
+                gen = self.model.generate(input_ids, patches, grid,
+                                          max_new_tokens)
             tokens = np.asarray(gen.tokens)
             lengths = np.asarray(gen.lengths)
             for row, img_idx in enumerate(group):
@@ -165,12 +201,15 @@ class JaxReasoningBackend:
         self.enable_thinking = enable_thinking
 
     @classmethod
-    def from_pretrained(cls, model_dir: str | Path,
-                        dtype=jnp.bfloat16) -> "JaxReasoningBackend":
+    def from_pretrained(cls, model_dir: str | Path, dtype=jnp.bfloat16,
+                        quantize: str | None = None) -> "JaxReasoningBackend":
         from handwritten_ocr_tpu.models.qwen3 import Qwen3Config, Qwen3Model
         from handwritten_ocr_tpu.models.weights import convert_qwen3
         config = Qwen3Config.from_pretrained_dir(model_dir)
         params = convert_qwen3(model_dir, config, dtype=dtype)
+        if quantize == "int8":
+            from handwritten_ocr_tpu.models.quant import quantize_tree
+            params = quantize_tree(params)
         return cls(Qwen3Model(params, config), HFTokenizer(model_dir))
 
     def chat(self, system_prompt: str, user_message: str, *,

@@ -26,11 +26,13 @@ class OllamaBackend:
         host: str | None = None,
         timeout: float = config.LLM_TIMEOUT,
         think: bool = config.LLM_ENABLE_THINKING,
+        stream: bool = config.LLM_STREAM,
     ) -> None:
         self.model = model
         self.host = (host or os.environ.get("OLLAMA_HOST") or "http://localhost:11434").rstrip("/")
         self.timeout = timeout
         self.think = think
+        self.stream = stream
 
     def chat(
         self,
@@ -46,10 +48,13 @@ class OllamaBackend:
             messages.append({"role": "system", "content": system_prompt})
         messages.append({"role": "user", "content": user_message})
 
+        # Structured calls are non-streaming (matching the reference, which
+        # only streams free-text calls, tools.py:166-208 vs 269-277).
+        should_stream = self.stream and json_schema is None
         payload: dict = {
             "model": self.model,
             "messages": messages,
-            "stream": False,
+            "stream": should_stream,
             "think": self.think,
             "options": {"temperature": temperature, "num_predict": max_tokens},
         }
@@ -63,5 +68,27 @@ class OllamaBackend:
             method="POST",
         )
         with urllib.request.urlopen(request, timeout=self.timeout) as response:
-            body = json.loads(response.read().decode("utf-8"))
-        return body["message"]["content"]
+            if not should_stream:
+                body = json.loads(response.read().decode("utf-8"))
+                return body["message"]["content"]
+            return self._drain_stream(response)
+
+    @staticmethod
+    def _drain_stream(response) -> str:
+        """NDJSON stream → assembled text, echoing tokens live (reference
+        tools.py:187-208 behavior)."""
+        import sys
+        chunks: list[str] = []
+        for raw_line in response:
+            line = raw_line.decode("utf-8").strip()
+            if not line:
+                continue
+            part = json.loads(line)
+            token = part.get("message", {}).get("content", "")
+            if token:
+                chunks.append(token)
+                sys.stdout.write(token)
+                sys.stdout.flush()
+        sys.stdout.write("\n")
+        sys.stdout.flush()
+        return "".join(chunks)

@@ -10,6 +10,8 @@ logical pass in reference order.
 
 from __future__ import annotations
 
+import json
+from pathlib import Path
 from typing import Callable, Sequence
 
 from handwritten_ocr_tpu.agents.runners import run_arbitrator, run_critic, run_editor
@@ -64,8 +66,16 @@ class OCRPipeline:
         self.quiet = quiet
 
     # ── graph topology (reference graph.py:49-79) ─────────────────
-    def run(self, state: OCRState) -> OCRState:
-        """Execute the graph to completion; returns the final state."""
+    def run(self, state: OCRState,
+            snapshot_path: str | None = None,
+            resume: bool = False) -> OCRState:
+        """Execute the graph to completion; returns the final state.
+
+        New capability vs the reference (SURVEY.md §5.4: no checkpointing
+        there): with ``snapshot_path``, the full pipeline state is written
+        after every node, and ``resume=True`` continues a crashed run from
+        the last completed node instead of redoing the page.
+        """
         nodes: dict[str, Callable[[OCRState], dict]] = {
             "initial_ocr": self.node_initial_ocr,
             "critic": self.node_critic,
@@ -85,6 +95,16 @@ class OCRPipeline:
 
         state = dict(state)  # value-passed; never mutate the caller's dict
         current = "initial_ocr"
+
+        if resume and snapshot_path and Path(snapshot_path).exists():
+            saved = json.loads(Path(snapshot_path).read_text(encoding="utf-8"))
+            state = saved["state"]
+            current = saved["next_node"]
+            self._say(f"  [resume] Continuing from node '{current}' "
+                      f"(iteration {state['iteration']})")
+            if current == _END:
+                return state  # type: ignore[return-value]
+
         # Safety bound: each iteration visits at most critic+editor/reocr,
         # plus initial + terminal. Generous cap to catch routing bugs.
         for _ in range(4 * state["max_iterations"] + 8):
@@ -97,7 +117,13 @@ class OCRPipeline:
                 current = route_after_reocr(state)  # type: ignore[arg-type]
             else:
                 current = static_edges[current]
+            if snapshot_path:
+                Path(snapshot_path).write_text(
+                    json.dumps({"next_node": current, "state": state}),
+                    encoding="utf-8")
             if current == _END:
+                if snapshot_path:
+                    Path(snapshot_path).unlink(missing_ok=True)
                 return state  # type: ignore[return-value]
         raise RuntimeError("pipeline did not reach a terminal node (routing bug)")
 

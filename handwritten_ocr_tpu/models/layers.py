@@ -26,7 +26,11 @@ def rms_norm(params: dict, x: jax.Array, eps: float) -> jax.Array:
 
 
 def linear(params: dict, x: jax.Array) -> jax.Array:
-    out = x @ params["w"]
+    if "w_q" in params:  # weight-only int8 (models/quant.py)
+        out = (x @ params["w_q"].astype(x.dtype)) * \
+            params["w_scale"].astype(x.dtype)
+    else:
+        out = x @ params["w"]
     if "b" in params:
         out = out + params["b"]
     return out

@@ -1,0 +1,67 @@
+"""Weight-only int8 quantization (per-output-channel absmax).
+
+Halves HBM weight traffic — the decode step is weight-bandwidth-bound
+(measured ~94% of speed-of-light in bf16), so int8 weights approach a 2x
+decode speedup and let the 7B flagship fit a single 16 GB chip.
+
+Scheme: every projection weight W[in, out] in the attention/MLP stacks is
+stored as int8 with a float32 per-column scale (absmax / 127). Embedding,
+lm_head, norms, and biases stay in bf16 (quality-critical, small share of
+bytes). The forward dequantizes inline: ``(x @ W_q.astype(bf16)) * scale``
+— XLA keeps the int8 buffer in HBM and fuses the widening into the matmul
+read on TPU.
+
+Quality: weight-only int8 with per-channel scales is a standard deployment
+scheme with near-lossless greedy-decode behavior; parity bounds are checked
+in tests (tiny models, logits drift and token agreement).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+# Leaf dict keys of projections to quantize (matches weights.py layout).
+_QUANT_PARENTS = {"q", "k", "v", "o", "qkv", "proj", "gate", "up", "down",
+                  "fc1", "fc2"}
+
+
+def _quantize_linear(linear_params: dict) -> dict:
+    w = linear_params["w"].astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(w), axis=0, keepdims=True)         # [1, out]
+    scale = jnp.maximum(absmax, 1e-8) / 127.0
+    w_q = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
+    out = {"w_q": w_q, "w_scale": scale[0].astype(jnp.float32)}
+    if "b" in linear_params:
+        out["b"] = linear_params["b"]
+    return out
+
+
+def quantize_tree(params: Any) -> Any:
+    """Quantize every projection in a param pytree (dict/list recursion)."""
+    if isinstance(params, dict):
+        out = {}
+        for key, value in params.items():
+            if (isinstance(value, dict) and key in _QUANT_PARENTS
+                    and "w" in value and value["w"].ndim == 2):
+                out[key] = _quantize_linear(value)
+            else:
+                out[key] = quantize_tree(value)
+        return out
+    if isinstance(params, list):
+        return [quantize_tree(v) for v in params]
+    return params
+
+
+def dequantize_weight(linear_params: dict, dtype=jnp.bfloat16) -> jax.Array:
+    """Materialize the bf16 weight (debug/inspection only)."""
+    return (linear_params["w_q"].astype(jnp.float32)
+            * linear_params["w_scale"]).astype(dtype)
+
+
+def quantized_bytes(params: Any) -> int:
+    """Total parameter bytes after quantization (reporting helper)."""
+    leaves = jax.tree_util.tree_leaves(params)
+    return sum(leaf.size * leaf.dtype.itemsize for leaf in leaves)

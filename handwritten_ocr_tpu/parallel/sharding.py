@@ -28,7 +28,9 @@ _ROW_PARALLEL = {"o", "proj", "down", "fc2"}
 def _spec_for_path(path: tuple[str, ...], shape: tuple[int, ...],
                    fsdp: bool) -> P:
     names = [p for p in path if not p.isdigit()]
-    leaf = names[-1]                     # "w" | "b" | "scale"
+    leaf = names[-1]                     # "w" | "b" | "scale" | quantized
+    # Quantized leaves shard like their bf16 counterparts.
+    leaf = {"w_q": "w", "w_scale": "b"}.get(leaf, leaf)
     parent = names[-2] if len(names) >= 2 else ""
 
     if parent == "embed":

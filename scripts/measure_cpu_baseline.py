@@ -80,16 +80,8 @@ def main() -> None:
     pixel_values = torch.tensor(packed.patches)
     grid = torch.tensor([list(packed.grid)])
 
-    # 3. prefill cost (one full forward with cache).
-    with torch.no_grad():
-        t0 = time.perf_counter()
-        out = model(input_ids=ids, pixel_values=pixel_values,
-                    image_grid_thw=grid, use_cache=True)
-        prefill_s = time.perf_counter() - t0
-    print(f"prefill ({ids.shape[1]} tokens): {prefill_s:.1f}s", flush=True)
-
-    # 4. per-step decode cost: difference of two short generates (each
-    # includes one prefill; the delta isolates pure decode steps).
+    # 3. warm-up forward first: oneDNN packs weights on the first pass,
+    # which would otherwise inflate the measured prefill ~2x.
     def timed_generate(n_new: int) -> float:
         with torch.no_grad():
             t0 = time.perf_counter()
@@ -98,11 +90,16 @@ def main() -> None:
                            do_sample=False)
             return time.perf_counter() - t0
 
-    gen_short = timed_generate(1)
-    gen_long = timed_generate(5)
-    step_s = max((gen_long - gen_short) / 4, 1e-3)
-    print(f"decode: {step_s:.2f}s/token "
-          f"(gen1={gen_short:.1f}s gen5={gen_long:.1f}s)", flush=True)
+    warm = timed_generate(1)
+    print(f"warm-up gen1: {warm:.1f}s", flush=True)
+
+    gen_short = timed_generate(1)       # steady-state prefill + 1 step
+    gen_long = timed_generate(6)
+    step_s = max((gen_long - gen_short) / 5, 1e-3)
+    prefill_s = max(gen_short - step_s, 0.0)
+    print(f"prefill ({ids.shape[1]} tokens): {prefill_s:.1f}s; "
+          f"decode {step_s:.2f}s/token "
+          f"(gen1={gen_short:.1f}s gen6={gen_long:.1f}s)", flush=True)
 
     decode_tokens = 160
     page_s = preprocess_s + prefill_s + decode_tokens * step_s

@@ -283,3 +283,50 @@ def test_batched_initial_reads_single_backend_call():
 def test_strategy_label():
     assert strategy_label("deskew") == "deskew"
     assert strategy_label(["deskew", "binarize"]) == "deskew+binarize"
+
+
+def test_snapshot_and_resume(tmp_path):
+    """A crash mid-run resumes from the last completed node (new capability)."""
+    snap = str(tmp_path / "state.json")
+    ocr = ScriptedOCRBackend(by_key={"a": "draft", "b": "draft"})
+
+    class ExplodingBackend(ScriptedReasoningBackend):
+        def chat(self, *a, **k):
+            if len(self.calls) == 2:  # third call (second critic) explodes
+                raise RuntimeError("simulated crash")
+            return super().chat(*a, **k)
+
+    llm = ExplodingBackend([
+        critic_json(50, "needs_editing"), editor_json("edited"),
+        critic_json(95, "accept"),
+    ])
+    pipe = OCRPipeline(ocr, llm, quiet=True)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        pipe.run(make_state(), snapshot_path=snap)
+
+    # Snapshot recorded the editor's completed work.
+    import json as json_mod
+    saved = json_mod.loads(open(snap).read())
+    assert saved["next_node"] == "critic"
+    assert saved["state"]["current_best"] == "edited"
+
+    # Resume: only the remaining critic call runs; no OCR redo.
+    ocr2 = ScriptedOCRBackend()  # would raise if any read happened
+    llm2 = ScriptedReasoningBackend([critic_json(95, "accept")])
+    final = OCRPipeline(ocr2, llm2, quiet=True).run(
+        make_state(), snapshot_path=snap, resume=True)
+    assert final["status"] == "completed"
+    assert final["reason"] == "accept"
+    assert final["current_best"] == "edited"
+    assert not (tmp_path / "state.json").exists()  # cleaned up when done
+
+
+def test_snapshot_removed_on_success(tmp_path):
+    snap = str(tmp_path / "s.json")
+    ocr = ScriptedOCRBackend(by_key={"a": "x", "b": "x"})
+    llm = ScriptedReasoningBackend([critic_json(95, "accept")])
+    final = OCRPipeline(ocr, llm, quiet=True).run(make_state(),
+                                                  snapshot_path=snap)
+    assert final["reason"] == "accept"
+    import os
+    assert not os.path.exists(snap)

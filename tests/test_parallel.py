@@ -117,3 +117,30 @@ def test_entry_compiles():
     fn, args = graft.entry()
     out = jax.jit(fn)(*args)
     assert out.ndim == 3 and np.isfinite(np.asarray(out[..., :4])).all()
+
+
+def test_sharded_ocr_backend_matches_unsharded(tmp_path):
+    """Multi-chip OCR engine (TP + page DP) produces identical reads."""
+    import sys
+    sys.path.insert(0, "tests")
+    from PIL import Image as PILImage
+    from test_engines import ByteTokenizer, tiny_vl_model
+    from handwritten_ocr_tpu.engine.jax_engines import JaxOCRBackend, TPUPreprocessor
+
+    rng = np.random.default_rng(0)
+    arr = rng.integers(120, 256, (60, 80, 3), dtype=np.uint8)
+    path = tmp_path / "p.png"
+    PILImage.fromarray(arr).save(path)
+    prep = TPUPreprocessor(min_pixels=28 * 28, max_pixels=56 * 56)
+    imgs = [prep.apply(str(path), ["sharpen"]),
+            prep.apply(str(path), ["high_contrast"])]
+
+    plain = JaxOCRBackend(tiny_vl_model(), ByteTokenizer(),
+                          min_pixels=28 * 28, max_pixels=56 * 56)
+    expected = plain.read_batch(imgs, "Extract.", 5)
+
+    mesh = make_mesh(8, model_parallel=2)
+    sharded = JaxOCRBackend(tiny_vl_model(), ByteTokenizer(),
+                            min_pixels=28 * 28, max_pixels=56 * 56).shard(mesh)
+    got = sharded.read_batch(imgs, "Extract.", 5)
+    assert got == expected

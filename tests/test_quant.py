@@ -1,0 +1,95 @@
+"""Weight-only int8 quantization: structure, numerics, decode behavior."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from handwritten_ocr_tpu.models.init import init_vl
+from handwritten_ocr_tpu.models.layers import linear
+from handwritten_ocr_tpu.models.quant import (
+    dequantize_weight,
+    quantize_tree,
+    quantized_bytes,
+)
+
+
+def small_cfg():
+    from handwritten_ocr_tpu.models.qwen25vl.config import (
+        TextConfig, VisionConfig, VLConfig)
+    return VLConfig(
+        vision=VisionConfig(depth=2, hidden_size=64, intermediate_size=128,
+                            num_heads=4, out_hidden_size=64,
+                            fullatt_block_indexes=(1,)),
+        text=TextConfig(vocab_size=512, hidden_size=64, intermediate_size=128,
+                        num_hidden_layers=2, num_attention_heads=4,
+                        num_key_value_heads=2, mrope_section=(2, 3, 3)),
+    )
+
+
+def test_quantize_tree_structure_and_size():
+    params = init_vl(jax.random.PRNGKey(0), small_cfg(), dtype=jnp.float32)
+    before = quantized_bytes(params)
+    quant = quantize_tree(params)
+    after = quantized_bytes(quant)
+    layer = quant["text"]["layers"][0]
+    assert layer["attn"]["q"]["w_q"].dtype == jnp.int8
+    assert layer["attn"]["q"]["w_scale"].shape == (64,)
+    assert "w" not in layer["attn"]["q"]
+    assert layer["attn"]["q"]["b"].dtype == jnp.float32   # bias kept
+    # Embed / lm_head / norms untouched.
+    assert quant["text"]["embed"]["w"].dtype == jnp.float32
+    assert quant["text"]["lm_head"]["w"].dtype == jnp.float32
+    assert after < before * 0.6
+
+
+def test_quantized_linear_error_bound():
+    rng = np.random.default_rng(0)
+    w = rng.standard_normal((64, 128)).astype(np.float32) * 0.1
+    x = rng.standard_normal((4, 64)).astype(np.float32)
+    params = {"w": jnp.asarray(w)}
+    quant = quantize_tree({"gate": params})["gate"]
+    exact = x @ w
+    approx = np.asarray(linear(quant, jnp.asarray(x)))
+    rel = np.abs(approx - exact).max() / np.abs(exact).max()
+    assert rel < 0.02  # per-channel int8: <2% worst-case on gaussian weights
+    # Dequantized weight round-trips within one quantization step.
+    deq = np.asarray(dequantize_weight(quant, dtype=jnp.float32))
+    step = np.abs(w).max(axis=0) / 127.0
+    assert (np.abs(deq - w) <= step[None, :] + 1e-6).all()
+
+
+def test_quantized_model_logits_close():
+    cfg = small_cfg()
+    params = init_vl(jax.random.PRNGKey(1), cfg, dtype=jnp.float32)
+    quant = quantize_tree(params)
+    from handwritten_ocr_tpu.train.step import vl_forward
+    ids = jnp.asarray(np.random.default_rng(2).integers(0, 500, (1, 12),
+                                                        dtype=np.int32))
+    pos = jnp.asarray(np.tile(np.arange(12)[None, None], (3, 1, 1)))
+    full = np.asarray(vl_forward(params, cfg, ids, None, None, pos))
+    q8 = np.asarray(vl_forward(quant, cfg, ids, None, None, pos))
+    # Logit drift stays small relative to the logit scale.
+    denom = np.abs(full).max()
+    assert np.abs(q8 - full).max() / denom < 0.1
+    # Top-1 predictions overwhelmingly agree.
+    agree = (full.argmax(-1) == q8.argmax(-1)).mean()
+    assert agree >= 0.9
+
+
+def test_quantized_sharding_specs():
+    from jax.sharding import PartitionSpec as P
+    from handwritten_ocr_tpu.parallel.mesh import make_mesh
+    from handwritten_ocr_tpu.parallel.sharding import param_shardings
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    params = quantize_tree(init_vl(jax.random.PRNGKey(0), small_cfg(),
+                                   dtype=jnp.float32))
+    mesh = make_mesh(8, model_parallel=4)
+    shardings = param_shardings(mesh, params)
+    attn = shardings["text"]["layers"][0]["attn"]
+    assert attn["q"]["w_q"].spec == P(None, "model")
+    assert attn["q"]["w_scale"].spec == P("model")
+    assert attn["o"]["w_q"].spec == P("model", None)
+    assert attn["o"]["w_scale"].spec == P(None)
