@@ -232,8 +232,23 @@ def _run(args, input_path: Path, output_dir: Path, pipeline) -> None:
 
     print(f"Found {len(images)} images in {input_path}")
 
+    pending = [p for p in images
+               if not (args.skip_existing
+                       and (output_dir / f"{p.stem}_transcription.txt").exists())]
+
+    # Cross-page batching: run every pending page's initial reads as
+    # grid-grouped batched forwards before the per-page loops start.
+    if len(pending) > 1 and hasattr(pipeline.ocr, "prime"):
+        from handwritten_ocr_tpu import config as cfg_mod
+        if not args.quiet:
+            print(f"Priming batched initial reads for {len(pending)} pages...")
+        pipeline.ocr.prime(
+            pipeline.preprocessor, [str(p) for p in pending],
+            cfg_mod.PREPROCESSING_STRATEGIES, cfg_mod.OCR_PROMPT,
+            cfg_mod.OCR_MAX_NEW_TOKENS)
+
     for img_path in images:
-        if args.skip_existing and (output_dir / f"{img_path.stem}_transcription.txt").exists():
+        if img_path not in pending:
             print(f"Skipping {img_path.name} (transcription exists)")
             continue
         transcribe_single(

@@ -242,9 +242,10 @@ def build_jax_pipeline(quiet: bool = False) -> OCRPipeline:
               f"{cfg_mod.OLMOCR_MODEL} and a Qwen3 reasoning model). "
               "For a model-free smoke run use --backend dryrun."
         )
+    from handwritten_ocr_tpu.engine.prefetch import PrimedOCRBackend
     if not quiet:
         print(f"  [engine] Loading OCR model from {ocr_dir}...")
-    ocr = JaxOCRBackend.from_pretrained(ocr_dir)
+    ocr = PrimedOCRBackend(JaxOCRBackend.from_pretrained(ocr_dir))
     if not quiet:
         print(f"  [engine] Loading reasoning model from {llm_dir}...")
     llm = JaxReasoningBackend.from_pretrained(llm_dir)

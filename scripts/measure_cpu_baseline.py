@@ -82,24 +82,36 @@ def main() -> None:
 
     # 3. warm-up forward first: oneDNN packs weights on the first pass,
     # which would otherwise inflate the measured prefill ~2x.
-    def timed_generate(n_new: int) -> float:
-        with torch.no_grad():
-            t0 = time.perf_counter()
-            model.generate(input_ids=ids, pixel_values=pixel_values,
-                           image_grid_thw=grid, max_new_tokens=n_new,
-                           do_sample=False)
-            return time.perf_counter() - t0
+    from transformers import DynamicCache
 
-    warm = timed_generate(1)
-    print(f"warm-up gen1: {warm:.1f}s", flush=True)
+    with torch.no_grad():
+        model(input_ids=ids, pixel_values=pixel_values, image_grid_thw=grid,
+              use_cache=True, past_key_values=DynamicCache(config=model.config))
+    print("warm-up forward done", flush=True)
 
-    gen_short = timed_generate(1)       # steady-state prefill + 1 step
-    gen_long = timed_generate(6)
-    step_s = max((gen_long - gen_short) / 5, 1e-3)
-    prefill_s = max(gen_short - step_s, 0.0)
-    print(f"prefill ({ids.shape[1]} tokens): {prefill_s:.1f}s; "
-          f"decode {step_s:.2f}s/token "
-          f"(gen1={gen_short:.1f}s gen6={gen_long:.1f}s)", flush=True)
+    with torch.no_grad():
+        t0 = time.perf_counter()
+        out = model(input_ids=ids, pixel_values=pixel_values,
+                    image_grid_thw=grid, use_cache=True,
+                    past_key_values=DynamicCache(config=model.config))
+        prefill_s = time.perf_counter() - t0
+    print(f"prefill ({ids.shape[1]} tokens): {prefill_s:.1f}s", flush=True)
+
+    # 4. decode steps against the prebuilt cache (pure per-token cost).
+    cache = out.past_key_values
+    next_tok = out.logits[:, -1:].argmax(-1)
+    n_steps = 8
+    with torch.no_grad():
+        t0 = time.perf_counter()
+        for offset in range(n_steps):
+            pos = ids.shape[1] + offset
+            step_out = model(
+                input_ids=next_tok, past_key_values=cache, use_cache=True,
+                cache_position=torch.tensor([pos]))
+            next_tok = step_out.logits[:, -1:].argmax(-1)
+            cache = step_out.past_key_values
+        step_s = (time.perf_counter() - t0) / n_steps
+    print(f"decode: {step_s:.2f}s/token", flush=True)
 
     decode_tokens = 160
     page_s = preprocess_s + prefill_s + decode_tokens * step_s
