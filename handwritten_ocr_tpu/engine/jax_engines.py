@@ -118,9 +118,15 @@ class JaxOCRBackend:
                         quantize: str | None = None) -> "JaxOCRBackend":
         from handwritten_ocr_tpu.models.qwen25vl.config import VLConfig
         from handwritten_ocr_tpu.models.qwen25vl.model import VLModel
-        from handwritten_ocr_tpu.models.weights import convert_vl
-        config = VLConfig.from_pretrained_dir(model_dir)
-        params = convert_vl(model_dir, config, dtype=dtype)
+        model_dir = Path(model_dir)
+        if (model_dir / "meta.json").exists():  # native pre-converted ckpt
+            from handwritten_ocr_tpu.models.checkpoint import load_checkpoint
+            params, meta = load_checkpoint(model_dir)
+            config = VLConfig.from_hf(meta["hf_config"])
+        else:
+            from handwritten_ocr_tpu.models.weights import convert_vl
+            config = VLConfig.from_pretrained_dir(model_dir)
+            params = convert_vl(model_dir, config, dtype=dtype)
         if quantize == "int8":
             from handwritten_ocr_tpu.models.quant import quantize_tree
             params = quantize_tree(params)
@@ -204,9 +210,15 @@ class JaxReasoningBackend:
     def from_pretrained(cls, model_dir: str | Path, dtype=jnp.bfloat16,
                         quantize: str | None = None) -> "JaxReasoningBackend":
         from handwritten_ocr_tpu.models.qwen3 import Qwen3Config, Qwen3Model
-        from handwritten_ocr_tpu.models.weights import convert_qwen3
-        config = Qwen3Config.from_pretrained_dir(model_dir)
-        params = convert_qwen3(model_dir, config, dtype=dtype)
+        model_dir = Path(model_dir)
+        if (model_dir / "meta.json").exists():  # native pre-converted ckpt
+            from handwritten_ocr_tpu.models.checkpoint import load_checkpoint
+            params, meta = load_checkpoint(model_dir)
+            config = Qwen3Config.from_hf(meta["hf_config"])
+        else:
+            from handwritten_ocr_tpu.models.weights import convert_qwen3
+            config = Qwen3Config.from_pretrained_dir(model_dir)
+            params = convert_qwen3(model_dir, config, dtype=dtype)
         if quantize == "int8":
             from handwritten_ocr_tpu.models.quant import quantize_tree
             params = quantize_tree(params)

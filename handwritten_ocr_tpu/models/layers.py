@@ -27,13 +27,33 @@ def rms_norm(params: dict, x: jax.Array, eps: float) -> jax.Array:
 
 def linear(params: dict, x: jax.Array) -> jax.Array:
     if "w_q" in params:  # weight-only int8 (models/quant.py)
-        out = (x @ params["w_q"].astype(x.dtype)) * \
-            params["w_scale"].astype(x.dtype)
+        out = _quantized_matmul(params, x)
     else:
         out = x @ params["w"]
     if "b" in params:
         out = out + params["b"]
     return out
+
+
+def _quantized_matmul(params: dict, x: jax.Array) -> jax.Array:
+    """int8-weight matmul: Pallas kernel on the bandwidth-bound decode
+    path (small leading dims), jnp dequant elsewhere (compute-bound)."""
+    w_q, scale = params["w_q"], params["w_scale"]
+    lead = 1
+    for dim in x.shape[:-1]:
+        lead *= dim
+
+    from handwritten_ocr_tpu.ops.dispatch import int8_kernel_mode
+    mode = int8_kernel_mode()
+    if mode != "off" and lead <= 32:
+        from handwritten_ocr_tpu.ops.int8_matmul import (
+            int8_matmul, int8_matmul_supported)
+        if int8_matmul_supported(w_q.shape[0], w_q.shape[1]):
+            flat = x.reshape(lead, x.shape[-1])
+            out = int8_matmul(flat, w_q, scale,
+                              interpret=(mode == "interpret"))
+            return out.reshape(*x.shape[:-1], w_q.shape[1])
+    return (x @ w_q.astype(x.dtype)) * scale.astype(x.dtype)
 
 
 def swiglu_mlp(params: dict, x: jax.Array) -> jax.Array:

@@ -16,7 +16,16 @@ import jax
 
 def flash_mode() -> str:
     """"compiled" | "interpret" | "off" for the current backend/env."""
-    env = os.environ.get("HOCR_TPU_FLASH", "").lower()
+    return _mode("HOCR_TPU_FLASH")
+
+
+def int8_kernel_mode() -> str:
+    """Dispatch mode for the Pallas int8 weight matmul (decode path)."""
+    return _mode("HOCR_TPU_INT8")
+
+
+def _mode(env_name: str) -> str:
+    env = os.environ.get(env_name, "").lower()
     if env in ("0", "off", "false"):
         return "off"
     if env == "interpret":

@@ -1,0 +1,51 @@
+"""Native checkpoint save/restore round-trip (orbax)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+pytest.importorskip("orbax.checkpoint")
+
+from handwritten_ocr_tpu.models.checkpoint import load_checkpoint, save_checkpoint
+from handwritten_ocr_tpu.models.init import init_vl
+from handwritten_ocr_tpu.models.quant import quantize_tree
+
+
+def small_cfg():
+    from handwritten_ocr_tpu.models.qwen25vl.config import (
+        TextConfig, VisionConfig, VLConfig)
+    return VLConfig(
+        vision=VisionConfig(depth=1, hidden_size=32, intermediate_size=64,
+                            num_heads=2, out_hidden_size=32,
+                            fullatt_block_indexes=(0,)),
+        text=TextConfig(vocab_size=256, hidden_size=32, intermediate_size=64,
+                        num_hidden_layers=1, num_attention_heads=2,
+                        num_key_value_heads=1, mrope_section=(2, 3, 3)),
+    )
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    params = init_vl(jax.random.PRNGKey(0), small_cfg(), dtype=jnp.float32)
+    meta = {"family": "vl", "hf_config": {"hidden_size": 32}, "dtype": "float32"}
+    save_checkpoint(tmp_path / "ckpt", params, meta)
+
+    restored, meta2 = load_checkpoint(tmp_path / "ckpt")
+    assert meta2 == meta
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_checkpoint_roundtrip_quantized(tmp_path):
+    params = quantize_tree(init_vl(jax.random.PRNGKey(1), small_cfg(),
+                                   dtype=jnp.float32))
+    save_checkpoint(tmp_path / "q8", params, {"family": "vl", "quantize": "int8",
+                                              "hf_config": {}})
+    restored, _ = load_checkpoint(tmp_path / "q8")
+    leaf = restored["text"]["layers"][0]["attn"]["q"]
+    assert leaf["w_q"].dtype == jnp.int8
+    np.testing.assert_array_equal(
+        np.asarray(leaf["w_q"]),
+        np.asarray(params["text"]["layers"][0]["attn"]["q"]["w_q"]))

@@ -93,3 +93,38 @@ def test_quantized_sharding_specs():
     assert attn["q"]["w_scale"].spec == P("model")
     assert attn["o"]["w_q"].spec == P("model", None)
     assert attn["o"]["w_scale"].spec == P(None)
+
+
+def test_int8_matmul_kernel_parity_interpret():
+    from handwritten_ocr_tpu.ops.int8_matmul import int8_matmul
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((4, 256)).astype(np.float32))
+    w8 = jnp.asarray(rng.integers(-127, 128, (256, 512)).astype(np.int8))
+    s = jnp.asarray((rng.random(512) * 0.02 + 0.001).astype(np.float32))
+    expected = (np.asarray(x) @ np.asarray(w8).astype(np.float32)) * np.asarray(s)
+    got = np.asarray(int8_matmul(x, w8, s, interpret=True))
+    np.testing.assert_allclose(got, expected, rtol=1e-5, atol=1e-4)
+
+
+def test_int8_matmul_block_fitting():
+    from handwritten_ocr_tpu.ops.int8_matmul import (
+        _fit_block, int8_matmul_supported)
+    assert _fit_block(11008, 512) == 256   # 11008 = 256*43
+    assert _fit_block(2048, 2048) == 2048
+    assert _fit_block(100, 512) is None
+    assert int8_matmul_supported(2048, 11008)
+    assert not int8_matmul_supported(100, 512)
+
+
+def test_quantized_linear_kernel_path_matches_fallback(monkeypatch):
+    from handwritten_ocr_tpu.models.layers import linear
+    rng = np.random.default_rng(6)
+    w = rng.standard_normal((256, 512)).astype(np.float32) * 0.05
+    x = jnp.asarray(rng.standard_normal((2, 256)).astype(np.float32))
+    quant = quantize_tree({"gate": {"w": jnp.asarray(w)}})["gate"]
+
+    monkeypatch.setenv("HOCR_TPU_INT8", "interpret")
+    kernel_out = np.asarray(linear(quant, x))
+    monkeypatch.setenv("HOCR_TPU_INT8", "off")
+    fallback_out = np.asarray(linear(quant, x))
+    np.testing.assert_allclose(kernel_out, fallback_out, rtol=1e-5, atol=1e-5)
