@@ -227,12 +227,20 @@ class JaxReasoningBackend:
     def chat(self, system_prompt: str, user_message: str, *,
              temperature: float, max_tokens: int,
              json_schema: dict | None = None) -> str:
-        # Greedy decode; ``json_schema`` relies on the parse ladder until
-        # constrained decoding lands. ``temperature`` accepted for protocol
-        # parity (reference uses 0.1 ≈ near-greedy).
+        """Greedy chat decode; ``json_schema`` requests grammar-constrained
+        JSON output (host-guided viable-prefix decode — the on-device
+        counterpart of Ollama's server-side ``format=``). ``temperature``
+        is accepted for protocol parity (reference uses 0.1 ≈ greedy)."""
         prompt = llm_chat_prompt(system_prompt, user_message,
                                  enable_thinking=self.enable_thinking)
         ids = np.array([self.tokenizer.encode(prompt)], dtype=np.int32)
+        if json_schema is not None:
+            constrained = self.model.generate_json(ids, max_tokens,
+                                                   self.tokenizer)
+            if constrained:
+                return constrained
+            # No viable constrained output: fall through to free decode
+            # (the caller's parse ladder takes over).
         gen = self.model.generate(ids, max_tokens)
         length = int(np.asarray(gen.lengths)[0])
         return self.tokenizer.decode(np.asarray(gen.tokens)[0, :length].tolist())

@@ -123,6 +123,80 @@ class Qwen3Model:
         lengths = jnp.sum(jnp.cumprod(tokens != eos, axis=1), axis=1)
         return GenerationResult(tokens=tokens, lengths=lengths)
 
+    @functools.partial(jax.jit, static_argnums=(0, 3, 4))
+    def _prefill_topk(self, params, input_ids, max_new, k):
+        """Prefill returning the top-k next-token candidates (B=1)."""
+        cfg = self.config
+        batch, prompt_len = input_ids.shape
+        embeds = params["embed"]["w"][input_ids]
+        position_ids = jnp.broadcast_to(jnp.arange(prompt_len)[None],
+                                        (batch, prompt_len))
+        cache = KVCache.zeros(cfg.num_hidden_layers, batch,
+                              prompt_len + max_new, cfg.num_key_value_heads,
+                              cfg.head_dim, dtype=embeds.dtype)
+        hidden, cache = text_forward(params, cfg, embeds, position_ids, cache)
+        logits = lm_logits(params, cfg, hidden[:, -1:])[:, -1]
+        values, idx = jax.lax.top_k(logits, k)
+        return values, idx, cache
+
+    @functools.partial(jax.jit, static_argnums=(0, 4))
+    def _step_topk(self, params, token, cache, k, position):
+        """One decode step returning top-k candidates (B=1)."""
+        cfg = self.config
+        embeds = params["embed"]["w"][token][:, None, :]
+        hidden, cache = text_forward(params, cfg, embeds,
+                                     position[:, None], cache)
+        logits = lm_logits(params, cfg, hidden)[:, -1]
+        values, idx = jax.lax.top_k(logits, k)
+        return values, idx, cache
+
+    def generate_json(self, input_ids: np.ndarray, max_new_tokens: int,
+                      tokenizer, top_k: int = 64) -> str:
+        """Grammar-constrained greedy decode: the output is valid JSON.
+
+        Host-guided: each step takes the device's top-k candidates and
+        commits the highest-scoring token whose decoded extension is still
+        a viable JSON prefix (utils/json_guard); decoding stops as soon as
+        the document completes. Replaces the reference's reliance on
+        Ollama's server-side ``format=`` grammar constraint (tools.py:273).
+        """
+        from handwritten_ocr_tpu.utils.json_guard import is_complete, is_viable_prefix
+
+        ids = jnp.asarray(np.asarray(input_ids, dtype=np.int32))
+        assert ids.shape[0] == 1, "constrained decode is B=1"
+        eos = self.config.eos_token_id
+
+        _, idx, cache = self._prefill_topk(self.params, ids,
+                                           int(max_new_tokens), top_k)
+        prompt_len = ids.shape[1]
+        generated: list[int] = []
+        text = ""
+        for step in range(max_new_tokens):
+            candidates = np.asarray(idx)[0]
+            chosen = None
+            for token in candidates:
+                token = int(token)
+                if token == eos:
+                    if is_complete(text):
+                        return text
+                    continue
+                candidate_text = tokenizer.decode(generated + [token])
+                probe = candidate_text.rstrip("�")
+                if is_viable_prefix(probe):
+                    chosen = token
+                    text = candidate_text
+                    break
+            if chosen is None:
+                break  # no viable continuation; caller's ladder salvages
+            generated.append(chosen)
+            if "�" not in text and is_complete(text):
+                return text
+            position = jnp.full((1,), prompt_len + step, jnp.int32)
+            _, idx, cache = self._step_topk(
+                self.params, jnp.asarray([chosen], jnp.int32), cache,
+                top_k, position)
+        return text
+
     def generate(self, input_ids: np.ndarray, max_new_tokens: int,
                  pad_mask: np.ndarray | None = None) -> GenerationResult:
         """Greedy decode; ``pad_mask`` True on real (non-pad) prompt tokens."""

@@ -198,3 +198,69 @@ def test_pack_image_device_grayscale_and_alignment():
     assert patches.shape == (16, 3 * 2 * 14 * 14)
     with pytest.raises(ValueError, match="not 28-aligned"):
         pack_image_device(jnp.zeros((30, 56), jnp.uint8))
+
+
+class DenseCharTokenizer:
+    """Every id maps to a printable char (id % alphabet): no invisible
+    tokens, so a random model's constrained decode must emit real JSON."""
+
+    ALPHABET = '{}[]",:0123456789.eE+-truefalsnul abcdefgh'
+
+    def encode(self, text: str) -> list[int]:
+        return [self.ALPHABET.find(c) % len(self.ALPHABET) for c in text]
+
+    def decode(self, ids) -> str:
+        return "".join(self.ALPHABET[i % len(self.ALPHABET)] for i in ids)
+
+
+def test_constrained_json_decode_emits_valid_json():
+    """generate_json forces syntactically valid JSON from a random model."""
+    from transformers import Qwen3Config as HFQwen3Config, Qwen3ForCausalLM
+    from handwritten_ocr_tpu.models.qwen3 import Qwen3Config, Qwen3Model
+    from handwritten_ocr_tpu.models.weights import convert_qwen3
+    from handwritten_ocr_tpu.utils.json_guard import is_viable_prefix
+
+    hf_cfg = HFQwen3Config(
+        vocab_size=256, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=8, tie_word_embeddings=False, eos_token_id=255)
+    torch.manual_seed(11)
+    hf = Qwen3ForCausalLM(hf_cfg).eval()
+    config = Qwen3Config.from_hf(hf_cfg.to_dict())
+    model = Qwen3Model(convert_qwen3(hf, config, dtype=jnp.float32), config)
+    tok = DenseCharTokenizer()
+
+    prompt = np.array([tok.encode("respond: ")], dtype=np.int32)
+    out = model.generate_json(prompt, max_new_tokens=32, tokenizer=tok)
+    # A random model free-decodes garbage; constrained, every emitted char
+    # must keep the text a viable JSON prefix.
+    assert out, "no constrained output produced"
+    assert is_viable_prefix(out)
+    # And the unconstrained decode of the same model is NOT valid JSON
+    # (shows the constraint is doing the work).
+    free = model.generate(prompt, 32)
+    free_text = tok.decode(np.asarray(free.tokens)[0].tolist())
+    assert not is_viable_prefix(free_text.strip() or "x")
+
+
+def test_reasoning_backend_json_schema_path():
+    from transformers import Qwen3Config as HFQwen3Config, Qwen3ForCausalLM
+    from handwritten_ocr_tpu.models.qwen3 import Qwen3Config, Qwen3Model
+    from handwritten_ocr_tpu.models.weights import convert_qwen3
+
+    hf_cfg = HFQwen3Config(
+        vocab_size=152064, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=8, tie_word_embeddings=False)
+    torch.manual_seed(12)
+    hf = Qwen3ForCausalLM(hf_cfg).eval()
+    config = Qwen3Config.from_hf(hf_cfg.to_dict())
+    model = Qwen3Model(convert_qwen3(hf, config, dtype=jnp.float32), config)
+    backend = JaxReasoningBackend(model, ByteTokenizer())
+
+    out = backend.chat("critic system", "analyze this", temperature=0.1,
+                       max_tokens=24, json_schema={"type": "object"})
+    from handwritten_ocr_tpu.utils.json_guard import is_viable_prefix
+    assert isinstance(out, str)
+    if out:
+        assert is_viable_prefix(out)
