@@ -15,11 +15,26 @@ or scripted test fakes.
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 from pydantic import ValidationError
 
 from handwritten_ocr_tpu.agents.schema_prompt import schema_example
 from handwritten_ocr_tpu.agents.schemas import ArbitratorResult, CriticResult, EditorResult
 from handwritten_ocr_tpu.engine.llm_client import ReasoningBackend, call_llm_json
+
+
+class AgentRequest(NamedTuple):
+    """One structured LLM call: (system prompt, user message, json schema).
+
+    The request/parse split lets the lockstep batch driver issue many
+    agents' calls as one batched decode (graph/batch_driver.py) while the
+    single-page runners keep the reference call shape.
+    """
+
+    system: str
+    user: str
+    schema: dict
 
 # ── Critic ───────────────────────────────────────────────────────────
 
@@ -66,13 +81,9 @@ Guidelines for verdict:
 - "needs_reocr": text is so garbled that linguistic correction alone won't recover it"""
 
 
-def run_critic(
-    backend: ReasoningBackend,
-    transcription: str,
-    previous_critique: CriticResult | None = None,
-    quiet: bool = False,
-) -> CriticResult:
-    """Critique a transcription; returns a validated CriticResult."""
+def critic_request(transcription: str,
+                   previous_critique: CriticResult | None = None) -> AgentRequest:
+    """Build the critic's (system, user, schema) triple."""
     previous_section = ""
     if previous_critique:
         previous_section = (
@@ -81,29 +92,42 @@ def run_critic(
             f"Previous verdict: {previous_critique.verdict}\n"
             f"Previous reasoning: {previous_critique.reasoning}"
         )
-
     user_msg = CRITIC_USER_TEMPLATE.format(
         transcription=transcription,
         previous_critique_section=previous_section,
         schema=schema_example(CriticResult),
     )
+    return AgentRequest(CRITIC_SYSTEM_PROMPT, user_msg,
+                        CriticResult.model_json_schema())
 
-    if not quiet:
-        print("  [critic] Analyzing transcription...")
-    raw = call_llm_json(backend, CRITIC_SYSTEM_PROMPT, user_msg,
-                        json_schema=CriticResult.model_json_schema(), quiet=quiet)
 
+def parse_critic(raw: dict, quiet: bool = False) -> CriticResult:
+    """Validate critic JSON with the reference fallback (agents.py:197-204)."""
     try:
-        result = CriticResult.model_validate(raw)
+        return CriticResult.model_validate(raw)
     except ValidationError as err:
         if not quiet:
             print(f"  [critic] WARNING: output validation failed: {err}")
-        result = CriticResult(
+        return CriticResult(
             overall_confidence=0,
             verdict="needs_editing",
             reasoning="LLM output failed schema validation",
         )
 
+
+def run_critic(
+    backend: ReasoningBackend,
+    transcription: str,
+    previous_critique: CriticResult | None = None,
+    quiet: bool = False,
+) -> CriticResult:
+    """Critique a transcription; returns a validated CriticResult."""
+    request = critic_request(transcription, previous_critique)
+    if not quiet:
+        print("  [critic] Analyzing transcription...")
+    raw = call_llm_json(backend, request.system, request.user,
+                        json_schema=request.schema, quiet=quiet)
+    result = parse_critic(raw, quiet=quiet)
     if not quiet:
         print(f"  [critic] Verdict: {result.verdict} "
               f"(confidence {result.overall_confidence})")
@@ -156,6 +180,28 @@ def format_critic_issues(critique: CriticResult) -> list[str]:
     return lines or ["No specific issues listed."]
 
 
+def editor_request(transcription: str, critique: CriticResult) -> AgentRequest:
+    """Build the editor's (system, user, schema) triple."""
+    user_msg = EDITOR_USER_TEMPLATE.format(
+        transcription=transcription,
+        confidence=critique.overall_confidence,
+        issues_text="\n".join(format_critic_issues(critique)),
+        schema=schema_example(EditorResult),
+    )
+    return AgentRequest(EDITOR_SYSTEM_PROMPT, user_msg,
+                        EditorResult.model_json_schema())
+
+
+def parse_editor(raw: dict, transcription: str, quiet: bool = False) -> EditorResult:
+    """Validate editor JSON; fallback keeps the input (agents.py:273-277)."""
+    try:
+        return EditorResult.model_validate(raw)
+    except ValidationError as err:
+        if not quiet:
+            print(f"  [editor] WARNING: output validation failed: {err}")
+        return EditorResult(corrected_text=transcription)
+
+
 def run_editor(
     backend: ReasoningBackend,
     transcription: str,
@@ -163,25 +209,12 @@ def run_editor(
     quiet: bool = False,
 ) -> EditorResult:
     """Fix critic-flagged issues; returns a validated EditorResult."""
-    user_msg = EDITOR_USER_TEMPLATE.format(
-        transcription=transcription,
-        confidence=critique.overall_confidence,
-        issues_text="\n".join(format_critic_issues(critique)),
-        schema=schema_example(EditorResult),
-    )
-
+    request = editor_request(transcription, critique)
     if not quiet:
         print("  [editor] Fixing flagged issues...")
-    raw = call_llm_json(backend, EDITOR_SYSTEM_PROMPT, user_msg,
-                        json_schema=EditorResult.model_json_schema(), quiet=quiet)
-
-    try:
-        result = EditorResult.model_validate(raw)
-    except ValidationError as err:
-        if not quiet:
-            print(f"  [editor] WARNING: output validation failed: {err}")
-        result = EditorResult(corrected_text=transcription)
-
+    raw = call_llm_json(backend, request.system, request.user,
+                        json_schema=request.schema, quiet=quiet)
+    result = parse_editor(raw, transcription, quiet=quiet)
     if not quiet:
         print(f"  [editor] Applied {len(result.changes)} fixes, "
               f"{len(result.unresolved)} unresolved")
@@ -229,29 +262,39 @@ def format_versions(versions: list[dict]) -> str:
     return "\n\n".join(blocks)
 
 
+def arbitrator_request(versions: list[dict]) -> AgentRequest:
+    """Build the arbitrator's (system, user, schema) triple."""
+    user_msg = ARBITRATOR_USER_TEMPLATE.format(
+        versions_text=format_versions(versions),
+        schema=schema_example(ArbitratorResult),
+    )
+    return AgentRequest(ARBITRATOR_SYSTEM_PROMPT, user_msg,
+                        ArbitratorResult.model_json_schema())
+
+
+def parse_arbitrator(raw: dict, versions: list[dict],
+                     quiet: bool = False) -> ArbitratorResult:
+    """Validate arbitrator JSON; fallback = first version (agents.py:334-339)."""
+    try:
+        return ArbitratorResult.model_validate(raw)
+    except ValidationError as err:
+        if not quiet:
+            print(f"  [arbitrator] WARNING: output validation failed: {err}")
+        return ArbitratorResult(final_text=versions[0]["text"] if versions else "")
+
+
 def run_arbitrator(
     backend: ReasoningBackend,
     versions: list[dict],
     quiet: bool = False,
 ) -> ArbitratorResult:
     """Merge version dicts ({text, source, score?}); validated ArbitratorResult."""
-    user_msg = ARBITRATOR_USER_TEMPLATE.format(
-        versions_text=format_versions(versions),
-        schema=schema_example(ArbitratorResult),
-    )
-
+    request = arbitrator_request(versions)
     if not quiet:
         print(f"  [arbitrator] Comparing {len(versions)} versions...")
-    raw = call_llm_json(backend, ARBITRATOR_SYSTEM_PROMPT, user_msg,
-                        json_schema=ArbitratorResult.model_json_schema(), quiet=quiet)
-
-    try:
-        result = ArbitratorResult.model_validate(raw)
-    except ValidationError as err:
-        if not quiet:
-            print(f"  [arbitrator] WARNING: output validation failed: {err}")
-        result = ArbitratorResult(final_text=versions[0]["text"] if versions else "")
-
+    raw = call_llm_json(backend, request.system, request.user,
+                        json_schema=request.schema, quiet=quiet)
+    result = parse_arbitrator(raw, versions, quiet=quiet)
     if not quiet:
         print(f"  [arbitrator] Merged (confidence {result.confidence})")
     return result

@@ -65,10 +65,7 @@ def transcribe_single(
 ) -> Path:
     """Transcribe one image and persist all artifacts; returns txt path."""
     from handwritten_ocr_tpu import config
-    from handwritten_ocr_tpu.evaluation import evaluate
     from handwritten_ocr_tpu.state import initial_state
-    from handwritten_ocr_tpu.text import parse_ground_truth
-    from handwritten_ocr_tpu.trace import Trace
 
     name = image_path.stem
     output_dir.mkdir(parents=True, exist_ok=True)
@@ -92,7 +89,24 @@ def transcribe_single(
     snapshot_path = str(output_dir / f"{name}_state.json") if snapshot else None
     final_state = pipeline.run(state, snapshot_path=snapshot_path,
                                resume=snapshot)
+    return persist_page(final_state, image_path, output_dir,
+                        ground_truth_path, quiet=quiet)
 
+
+def persist_page(
+    final_state,
+    image_path: Path,
+    output_dir: Path,
+    ground_truth_path: Path | None = None,
+    quiet: bool = False,
+) -> Path:
+    """Write the per-page artifacts (reference transcribe.py:74-112 set)."""
+    from handwritten_ocr_tpu.evaluation import evaluate
+    from handwritten_ocr_tpu.text import parse_ground_truth
+    from handwritten_ocr_tpu.trace import Trace
+
+    name = image_path.stem
+    output_dir.mkdir(parents=True, exist_ok=True)
     trace = Trace.from_events(final_state["trace_events"])
 
     transcription_path = output_dir / f"{name}_transcription.txt"
@@ -166,6 +180,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
     parser.add_argument("--snapshot", action="store_true",
                         help="Write per-node state snapshots and resume "
                              "crashed pages from the last completed node")
+    parser.add_argument("--lockstep", action="store_true",
+                        help="Batch mode: advance all pages through the "
+                             "critique loop in lockstep with batched model "
+                             "calls (one decode for all pages at each node)")
     parser.add_argument("--profile", type=Path, default=None, metavar="DIR",
                         help="Capture a jax.profiler trace of the run into DIR")
     parser.add_argument("--quiet", action="store_true",
@@ -236,6 +254,11 @@ def _run(args, input_path: Path, output_dir: Path, pipeline) -> None:
                if not (args.skip_existing
                        and (output_dir / f"{p.stem}_transcription.txt").exists())]
 
+    if args.lockstep and len(pending) > 1:
+        _run_lockstep(args, pending, output_dir, pipeline)
+        print(f"\nAll done. Results saved to {output_dir}")
+        return
+
     # Cross-page batching: run every pending page's initial reads as
     # grid-grouped batched forwards before the per-page loops start.
     if len(pending) > 1 and hasattr(pipeline.ocr, "prime"):
@@ -263,6 +286,33 @@ def _run(args, input_path: Path, output_dir: Path, pipeline) -> None:
         )
 
     print(f"\nAll done. Results saved to {output_dir}")
+
+
+def _run_lockstep(args, pending: list[Path], output_dir: Path, pipeline) -> None:
+    """Batch-of-pages lockstep execution with batched model calls."""
+    import time
+
+    from handwritten_ocr_tpu import config
+    from handwritten_ocr_tpu.graph.batch_driver import LockstepPipeline
+    from handwritten_ocr_tpu.state import initial_state
+
+    run_config = config.RunConfig(
+        accept_threshold=args.accept_threshold or config.ACCEPT_THRESHOLD,
+        max_iterations=args.max_iterations or config.MAX_ITERATIONS,
+    )
+    states = [initial_state(str(p), config=run_config.as_state_dict(),
+                            max_iterations=run_config.max_iterations,
+                            start_time=time.monotonic()) for p in pending]
+
+    print(f"Lockstep run over {len(pending)} pages...")
+    lockstep = LockstepPipeline(pipeline.ocr, pipeline.llm,
+                                preprocessor=pipeline.preprocessor,
+                                quiet=args.quiet)
+    finals = lockstep.run_many(states)
+    for img_path, final_state in zip(pending, finals):
+        persist_page(final_state, img_path, output_dir,
+                     find_ground_truth(args.ground_truth_dir, img_path.stem),
+                     quiet=args.quiet)
 
 
 if __name__ == "__main__":

@@ -245,6 +245,30 @@ class JaxReasoningBackend:
         length = int(np.asarray(gen.lengths)[0])
         return self.tokenizer.decode(np.asarray(gen.tokens)[0, :length].tolist())
 
+    def chat_batch(self, requests, *, temperature: float,
+                   max_tokens: int) -> list[str]:
+        """Many chat turns as ONE batched decode (left-padded prompts).
+
+        Powers the lockstep multi-page driver: all active pages' critic
+        (or editor/arbitrator) calls share a single prefill + decode.
+        """
+        prompts = [llm_chat_prompt(r.system, r.user,
+                                   enable_thinking=self.enable_thinking)
+                   for r in requests]
+        encoded = [self.tokenizer.encode(p) for p in prompts]
+        longest = max(len(ids) for ids in encoded)
+        pad_id = self.model.config.pad_token_id % self.model.config.vocab_size
+        batch_ids = np.full((len(encoded), longest), pad_id, dtype=np.int32)
+        pad_mask = np.zeros((len(encoded), longest), dtype=bool)
+        for row, ids in enumerate(encoded):
+            batch_ids[row, longest - len(ids):] = ids
+            pad_mask[row, longest - len(ids):] = True
+        gen = self.model.generate(batch_ids, max_tokens, pad_mask=pad_mask)
+        tokens = np.asarray(gen.tokens)
+        lengths = np.asarray(gen.lengths)
+        return [self.tokenizer.decode(tokens[row, :lengths[row]].tolist())
+                for row in range(len(encoded))]
+
 
 def build_jax_pipeline(quiet: bool = False) -> OCRPipeline:
     """Full TPU pipeline from local checkpoints (env-var discovery)."""

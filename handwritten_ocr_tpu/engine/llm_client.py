@@ -83,3 +83,42 @@ def call_llm_json(
         return parsed
 
     return {"error": "json_parse_failed", "raw_response": raw}
+
+
+def call_llm_json_batch(
+    backend: ReasoningBackend,
+    requests,
+    temperature: float | None = None,
+    max_tokens: int | None = None,
+    quiet: bool = False,
+) -> list[dict]:
+    """Batched structured calls (lockstep driver path).
+
+    ``requests`` — AgentRequest-like (system, user, schema) triples. Uses
+    the backend's ``chat_batch`` when available (one batched decode for
+    all calls); any response that fails to parse falls back to the full
+    single-call retry ladder.
+    """
+    temp = temperature if temperature is not None else config.LLM_TEMPERATURE
+    n_tokens = max_tokens or config.LLM_MAX_TOKENS
+
+    if hasattr(backend, "chat_batch"):
+        if not quiet:
+            print(f"  [llm] Batched reasoning call x{len(requests)}...",
+                  flush=True)
+        texts = backend.chat_batch(list(requests), temperature=temp,
+                                   max_tokens=n_tokens)
+    else:
+        texts = [backend.chat(r.system, r.user, temperature=temp,
+                              max_tokens=n_tokens, json_schema=r.schema)
+                 for r in requests]
+
+    results = []
+    for request, text in zip(requests, texts):
+        parsed = extract_json(text)
+        if parsed is None:
+            parsed = call_llm_json(backend, request.system, request.user,
+                                   temperature=temp, max_tokens=n_tokens,
+                                   json_schema=request.schema, quiet=quiet)
+        results.append(parsed)
+    return results

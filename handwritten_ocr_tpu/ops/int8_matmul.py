@@ -39,19 +39,9 @@ def _kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, *, n_in_blocks: int):
         o_ref[0] = (acc_ref[:] * s_ref[:]).astype(o_ref.dtype)
 
 
-def _fit_block(dim: int, preferred: int) -> int | None:
-    """Largest 128-multiple ≤ preferred that divides ``dim`` (None if none)."""
-    candidate = (preferred // 128) * 128
-    while candidate >= 128:
-        if dim % candidate == 0:
-            return candidate
-        candidate -= 128
-    return None
-
-
 def int8_matmul_supported(d_in: int, d_out: int) -> bool:
-    """Whether the kernel can tile these dims (else use the jnp fallback)."""
-    return _fit_block(d_in, 2048) is not None and _fit_block(d_out, 512) is not None
+    """Whether the kernel path is worthwhile (padding handles alignment)."""
+    return d_in >= 128 and d_out >= 128
 
 
 @functools.partial(jax.jit, static_argnames=("block_in", "block_out",
@@ -62,18 +52,30 @@ def int8_matmul(
     scale: jax.Array,    # [OUT] f32
     *,
     block_in: int = 2048,
-    block_out: int = 512,
+    block_out: int = 1024,
     interpret: bool = False,
 ) -> jax.Array:
     """(x @ dequant(w8)) with per-output-channel scales; out in x.dtype."""
     batch, d_in = x.shape
     d_out = w8.shape[1]
-    block_in = _fit_block(d_in, min(block_in, d_in))
-    block_out = _fit_block(d_out, min(block_out, d_out))
-    if block_in is None or block_out is None:
-        raise ValueError(f"no 128-multiple block divides dims ({d_in}, {d_out})")
-    n_in_blocks = d_in // block_in
-    n_out_blocks = d_out // block_out
+    # Awkward dims (e.g. 11008 = 86·128, largest useful divisor 256) force
+    # tiny blocks that leave the DMA pipeline latency-bound. Pad to the
+    # block grid instead: zero columns/rows cost <2% extra bytes and keep
+    # blocks at bandwidth-friendly sizes.
+    block_in = min(block_in, _round_up(d_in, 128))
+    block_out = min(block_out, _round_up(d_out, 128))
+    in_pad = (-d_in) % block_in
+    out_pad = (-d_out) % block_out
+    if in_pad:
+        x = jnp.pad(x, ((0, 0), (0, in_pad)))
+        w8 = jnp.pad(w8, ((0, in_pad), (0, 0)))
+    if out_pad:
+        w8 = jnp.pad(w8, ((0, 0), (0, out_pad)))
+        scale = jnp.pad(scale, (0, out_pad))
+    full_out = d_out + out_pad
+    full_in = d_in + in_pad
+    n_in_blocks = full_in // block_in
+    n_out_blocks = full_out // block_out
 
     kernel = functools.partial(_kernel, n_in_blocks=n_in_blocks)
     out = pl.pallas_call(
@@ -85,8 +87,12 @@ def int8_matmul(
             pl.BlockSpec((1, block_out), lambda oi, ii: (0, oi)),
         ],
         out_specs=pl.BlockSpec((1, batch, block_out), lambda oi, ii: (0, 0, oi)),
-        out_shape=jax.ShapeDtypeStruct((1, batch, d_out), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((1, batch, full_out), x.dtype),
         scratch_shapes=[pltpu.VMEM((batch, block_out), jnp.float32)],
         interpret=interpret,
     )(x[None], w8, scale.astype(jnp.float32)[None])
-    return out[0]
+    return out[0, :, :d_out]
+
+
+def _round_up(value: int, multiple: int) -> int:
+    return -(-value // multiple) * multiple

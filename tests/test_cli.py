@@ -159,3 +159,26 @@ def test_eval_batch_fallback_to_plain_txt(tmp_path, capsys):
 def test_eval_missing_input_exits(tmp_path):
     with pytest.raises(SystemExit):
         eval_final.main([str(tmp_path / "missing.txt")])
+
+
+def test_lockstep_batch_mode(tmp_path):
+    src = tmp_path / "pages"
+    src.mkdir()
+    for name in ("a.png", "b.png"):
+        write_image(src / name)
+    gt_dir = tmp_path / "gt"
+    gt_dir.mkdir()
+    (gt_dir / "a.md").write_text("## Ground Truth\nhello world")
+
+    out = tmp_path / "results"
+    transcribe.main(
+        [str(src), "--output-dir", str(out), "--ground-truth-dir", str(gt_dir),
+         "--lockstep", "--quiet"],
+        pipeline=make_pipeline(),
+    )
+    for stem in ("a", "b"):
+        assert (out / f"{stem}_transcription.txt").read_text() == "hello world"
+        trace = json.loads((out / f"{stem}_trace.json").read_text())
+        assert trace[-1]["action"] == "accept"
+    a_eval = json.loads((out / "a_eval.json").read_text())
+    assert a_eval["tier1_raw_vs_gt"]["exact_match"] is True

@@ -106,12 +106,18 @@ def test_int8_matmul_kernel_parity_interpret():
     np.testing.assert_allclose(got, expected, rtol=1e-5, atol=1e-4)
 
 
-def test_int8_matmul_block_fitting():
+def test_int8_matmul_padded_dims():
+    """Non-block-aligned dims are zero-padded internally (e.g. 11008)."""
     from handwritten_ocr_tpu.ops.int8_matmul import (
-        _fit_block, int8_matmul_supported)
-    assert _fit_block(11008, 512) == 256   # 11008 = 256*43
-    assert _fit_block(2048, 2048) == 2048
-    assert _fit_block(100, 512) is None
+        int8_matmul, int8_matmul_supported)
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.standard_normal((2, 300)).astype(np.float32))
+    w8 = jnp.asarray(rng.integers(-127, 128, (300, 700)).astype(np.int8))
+    s = jnp.asarray((rng.random(700) * 0.02 + 0.001).astype(np.float32))
+    expected = (np.asarray(x) @ np.asarray(w8).astype(np.float32)) * np.asarray(s)
+    got = np.asarray(int8_matmul(x, w8, s, interpret=True))
+    assert got.shape == (2, 700)
+    np.testing.assert_allclose(got, expected, rtol=1e-5, atol=1e-4)
     assert int8_matmul_supported(2048, 11008)
     assert not int8_matmul_supported(100, 512)
 
