@@ -42,11 +42,21 @@ def load_checkpoint(path: str | Path, abstract_params: Any | None = None):
     path = Path(path).resolve()
     meta = json.loads((path / "meta.json").read_text())
     checkpointer = ocp.StandardCheckpointer()
-    if abstract_params is not None:
+    default_sharding = jax.sharding.SingleDeviceSharding(jax.local_devices()[0])
+    if abstract_params is None:
+        # Restore device-agnostically (a checkpoint saved on TPU must load
+        # on CPU hosts and vice versa): build abstract arrays from the
+        # checkpoint's own metadata instead of its recorded shardings.
+        tree_meta = checkpointer.metadata(path / "params").item_metadata.tree
         abstract = jax.tree_util.tree_map(
-            lambda leaf: jax.ShapeDtypeStruct(leaf.shape, leaf.dtype),
-            abstract_params)
-        params = checkpointer.restore(path / "params", abstract)
+            lambda m: jax.ShapeDtypeStruct(m.shape, m.dtype,
+                                           sharding=default_sharding),
+            tree_meta)
     else:
-        params = checkpointer.restore(path / "params")
+        abstract = jax.tree_util.tree_map(
+            lambda leaf: jax.ShapeDtypeStruct(
+                leaf.shape, leaf.dtype,
+                sharding=getattr(leaf, "sharding", None) or default_sharding),
+            abstract_params)
+    params = checkpointer.restore(path / "params", abstract)
     return params, meta

@@ -14,10 +14,18 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+# Honor JAX_PLATFORMS explicitly (the axon TPU plugin ignores the env var);
+# conversion is pure host work and runs fine on CPU.
+_platform = os.environ.get("JAX_PLATFORMS", "")
+if _platform and "axon" not in _platform:
+    import jax
+    jax.config.update("jax_platforms", _platform.split(",")[0])
 
 
 def main() -> None:
