@@ -330,3 +330,15 @@ def test_snapshot_removed_on_success(tmp_path):
     assert final["reason"] == "accept"
     import os
     assert not os.path.exists(snap)
+
+
+def test_empty_strategy_bank_uses_original():
+    """No strategies configured → single 'original' read (nodes.py:86-87)."""
+    cfg = RunConfig(strategies=[])
+    s = initial_state("/img.png", config=cfg.as_state_dict(), max_iterations=5)
+    ocr = ScriptedOCRBackend(by_key={"original": "raw read"})
+    llm = ScriptedReasoningBackend([critic_json(95, "accept")])
+    final = OCRPipeline(ocr, llm, quiet=True).run(s)
+    assert final["strategies_used"] == ["original"]
+    assert final["current_best"] == "raw read"
+    assert final["reason"] == "accept"

@@ -219,3 +219,19 @@ def test_qwen3_left_padded_batch_decode(qwen3_pair):
     solo = jax_model.generate(short[None], 6)
     np.testing.assert_array_equal(
         np.asarray(batched.tokens[0]), np.asarray(solo.tokens[0]))
+
+
+def test_vl_logits_parity_large_windowed_grid(vl_pair):
+    """Grid (1,12,16): multiple real vision windows + edge padding."""
+    hf_model, config, jax_model = vl_pair
+    grid = (1, 12, 16)
+    patches, input_ids = make_vl_inputs(None, grid=grid, seed=5)
+    with torch.no_grad():
+        hf_logits = hf_model(
+            input_ids=torch.tensor(input_ids),
+            pixel_values=torch.tensor(patches[0]),
+            image_grid_thw=torch.tensor([list(grid)]),
+        ).logits.numpy()
+    jax_logits = np.asarray(
+        jax_model.forward_logits(input_ids, jnp.asarray(patches), grid))
+    np.testing.assert_allclose(jax_logits, hf_logits, rtol=3e-4, atol=3e-4)

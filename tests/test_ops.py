@@ -229,3 +229,26 @@ def test_preprocess_chain_single_string():
     img = jnp.asarray(noise_img((40, 56, 3), seed=11))
     out = preprocess_chain(img, "sharpen")
     assert np.asarray(out).shape == (40, 56, 3)
+
+
+def test_file_preprocessor_writes_reference_style_temp(tmp_path):
+    """FilePreprocessor materializes 'ocr_<label>_*' temp files for
+    path-based backends (reference tools.py:670 contract)."""
+    from PIL import Image as PILImage
+    from handwritten_ocr_tpu.engine.hf_ocr import FilePreprocessor
+
+    src = tmp_path / "page.png"
+    PILImage.fromarray(noise_img((56, 84, 3), seed=12)).save(src)
+
+    prep = FilePreprocessor()
+    out = prep.apply(str(src), ["high_contrast", "binarize"])
+    assert out.strategy_label == "high_contrast+binarize"
+    from pathlib import Path as P
+    name = P(out.data).name
+    assert name.startswith("ocr_high_contrast+binarize_")
+    assert name.endswith(".png")
+    arr = np.array(PILImage.open(out.data))
+    assert set(np.unique(arr)) <= {0, 255}
+
+    passthrough = prep.apply(str(src), "original")
+    assert passthrough.data == str(src)
