@@ -91,7 +91,6 @@ def main() -> None:
     import jax.numpy as jnp
 
     from handwritten_ocr_tpu.models.init import init_vl
-    from handwritten_ocr_tpu.models.processor import pack_image, vlm_chat_prompt  # noqa: F401
     from handwritten_ocr_tpu.models.qwen25vl.model import VLModel
     from handwritten_ocr_tpu.ops.bank import preprocess_chain
 

@@ -10,7 +10,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from handwritten_ocr_tpu.models.qwen25vl.config import TextConfig, VLConfig, VisionConfig
+from handwritten_ocr_tpu.models.qwen25vl.config import VLConfig, VisionConfig
 
 
 def _split(key, n):

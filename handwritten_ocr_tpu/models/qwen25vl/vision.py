@@ -1,16 +1,19 @@
 """Windowed ViT encoder (Qwen2.5-VL vision tower) — batched, static shapes.
 
 TPU-first redesign of the HF reference encoder (which runs one concatenated
-varlen sequence with per-chunk python splits): here a batch of B images with
+varlen sequence with per-chunk python splits): a batch of B images with
 *identical* grids — exactly the multi-strategy-reads-of-one-page case —
-runs as [B, S, D] with static shapes. Window attention executes as a
-gather into uniform [n_windows, window_len] blocks (padded at the grid
-edge) so scores are O(S·w) instead of O(S²); the four full-attention
-layers attend globally per image.
+runs as [B, P, D] in **padded window layout**: tokens live grouped into
+uniform windows (edge windows padded with dead slots) for the whole stack,
+so the 28 window-attention layers are pure reshapes + masked attention
+with ZERO gather/scatter traffic (profiled at ~5 ms/layer before). The
+four global-attention layers run the Pallas flash kernel with a dead-slot
+key mask. One gather enters the layout after patch embedding; one gather
+leaves it before the patch merger.
 
-All permutations / rotary tables / window gathers are precomputed host-side
-per grid (a handful of numpy ops, cached) and passed in as device arrays;
-the jitted forward recompiles only when the grid changes.
+All permutations / rotary tables / masks are precomputed host-side per
+grid (a handful of numpy ops, cached); the jitted forward recompiles only
+when the grid changes.
 """
 
 from __future__ import annotations
@@ -41,16 +44,18 @@ class GridPlan:
     grid: tuple[int, int, int]
     cell_perm: np.ndarray          # [n_cells] window-order permutation of 2x2 cells
     cell_unperm: np.ndarray        # [n_cells] inverse permutation
-    win_gather: np.ndarray         # [n_win, win_len] permuted-token index (0-padded)
-    win_valid: np.ndarray          # [n_win, win_len] bool padding mask
-    flat_from_win: np.ndarray      # [S] flat permuted position -> win*win_len + slot
-    cos: np.ndarray                # [S, head_dim] rotary cos (permuted order)
-    sin: np.ndarray                # [S, head_dim] rotary sin (permuted order)
+    n_windows: int
+    window_len: int
+    pad_from_flat: np.ndarray      # [P] permuted-token source per padded slot
+    valid: np.ndarray              # [P] bool: real token (not a dead slot)
+    flat_from_win: np.ndarray      # [S] permuted position -> padded slot
+    cos_pad: np.ndarray            # [P, head_dim] rotary cos (padded layout)
+    sin_pad: np.ndarray            # [P, head_dim] rotary sin (padded layout)
 
 
 @functools.lru_cache(maxsize=32)
 def plan_grid(cfg: VisionConfig, grid: tuple[int, int, int]) -> GridPlan:
-    """Precompute permutations, window gathers, and rotary tables for a grid."""
+    """Precompute permutations, padded-window layout, and rotary tables."""
     t, h, w = grid
     merge = cfg.spatial_merge_size
     unit = cfg.spatial_merge_unit
@@ -59,10 +64,10 @@ def plan_grid(cfg: VisionConfig, grid: tuple[int, int, int]) -> GridPlan:
     seq_len = t * h * w
 
     # Window partition of the cell grid (vit merger windows), edge windows
-    # smaller. Matches HF get_window_index (modeling_qwen2_5_vl.py:365-404).
+    # smaller. Matches HF get_window_index (modeling_qwen2_5_vl.py:365-404);
+    # HF pads by (win - size % win) even when aligned — all-empty windows
+    # are dropped, as unique_consecutive does there.
     win_cells = cfg.window_size // merge // cfg.patch_size
-    # HF pads by (win - size % win) even when already aligned (the resulting
-    # all-empty windows are dropped below, as unique_consecutive does in HF).
     pad_h = win_cells - cells_h % win_cells
     pad_w = win_cells - cells_w % win_cells
     n_win_h = (cells_h + pad_h) // win_cells
@@ -80,28 +85,33 @@ def plan_grid(cfg: VisionConfig, grid: tuple[int, int, int]) -> GridPlan:
     cell_perm = np.concatenate(window_cell_lists)
     cell_unperm = np.argsort(cell_perm)
 
-    # Token-level window gather over the *permuted* flat sequence.
-    win_len = win_cells * win_cells * unit
-    n_win = len(window_cell_lists)
-    win_gather = np.zeros((n_win, win_len), dtype=np.int64)
-    win_valid = np.zeros((n_win, win_len), dtype=bool)
+    # Padded window layout: every window spans window_len slots; a window's
+    # valid tokens occupy its first len(cells)*unit slots.
+    window_len = win_cells * win_cells * unit
+    n_windows = len(window_cell_lists)
+    total = n_windows * window_len
+    pad_from_flat = np.zeros(total, dtype=np.int64)
+    valid = np.zeros(total, dtype=bool)
     flat_from_win = np.zeros(seq_len, dtype=np.int64)
     offset = 0
     for wi, cells in enumerate(window_cell_lists):
         n_tok = len(cells) * unit
         token_ids = np.arange(offset, offset + n_tok)
-        win_gather[wi, :n_tok] = token_ids
-        win_valid[wi, :n_tok] = True
-        flat_from_win[token_ids] = wi * win_len + np.arange(n_tok)
+        slots = wi * window_len + np.arange(n_tok)
+        pad_from_flat[slots] = token_ids
+        valid[slots] = True
+        flat_from_win[token_ids] = slots
         offset += n_tok
 
-    # 2D rotary table in cell-major patch order, then cell-permuted.
-    # (HF rot_pos_emb: h/w ids arranged cell-major via the merge reshape.)
+    # 2D rotary table in cell-major patch order, then placed into the
+    # padded layout. (HF rot_pos_emb: h/w ids arranged cell-major.)
     hpos = np.arange(h)[:, None].repeat(w, axis=1)
     wpos = np.arange(w)[None, :].repeat(h, axis=0)
+
     def cell_major(x: np.ndarray) -> np.ndarray:
         return (x.reshape(cells_h, merge, cells_w, merge)
                  .transpose(0, 2, 1, 3).reshape(-1))
+
     hpos_ids = np.tile(cell_major(hpos), t)
     wpos_ids = np.tile(cell_major(wpos), t)
 
@@ -111,20 +121,25 @@ def plan_grid(cfg: VisionConfig, grid: tuple[int, int, int]) -> GridPlan:
     freq_w = wpos_ids[:, None] * inv_freq[None, :]
     rot = np.concatenate([freq_h, freq_w], axis=-1)        # [S, head_dim/2]
     emb = np.concatenate([rot, rot], axis=-1)              # [S, head_dim]
-    # Apply the cell permutation at token level.
     token_perm = (cell_perm[:, None] * unit + np.arange(unit)[None, :]).reshape(-1)
-    cos = np.cos(emb)[token_perm].astype(np.float32)
-    sin = np.sin(emb)[token_perm].astype(np.float32)
+    cos_perm = np.cos(emb)[token_perm].astype(np.float32)
+    sin_perm = np.sin(emb)[token_perm].astype(np.float32)
+    cos_pad = np.zeros((total, cfg.head_dim), np.float32)
+    sin_pad = np.zeros((total, cfg.head_dim), np.float32)
+    cos_pad[flat_from_win] = cos_perm
+    sin_pad[flat_from_win] = sin_perm
 
     return GridPlan(
         grid=grid,
         cell_perm=cell_perm,
         cell_unperm=cell_unperm,
-        win_gather=win_gather,
-        win_valid=win_valid,
+        n_windows=n_windows,
+        window_len=window_len,
+        pad_from_flat=pad_from_flat,
+        valid=valid,
         flat_from_win=flat_from_win,
-        cos=cos,
-        sin=sin,
+        cos_pad=cos_pad,
+        sin_pad=sin_pad,
     )
 
 
@@ -138,8 +153,9 @@ def _split_qkv(params: dict, x: jax.Array, num_heads: int) -> tuple[jax.Array, .
 
 
 def _attend_full(params: dict, cfg: VisionConfig, x: jax.Array,
-                 cos: jax.Array, sin: jax.Array) -> jax.Array:
-    """Global attention over the whole image sequence."""
+                 cos: jax.Array, sin: jax.Array,
+                 kv_mask: jax.Array) -> jax.Array:
+    """Global attention over the padded sequence (dead slots key-masked)."""
     from handwritten_ocr_tpu.ops.dispatch import flash_mode
 
     q, k, v = _split_qkv(params, x, cfg.num_heads)
@@ -147,20 +163,21 @@ def _attend_full(params: dict, cfg: VisionConfig, x: jax.Array,
     mode = flash_mode()
     if mode != "off":
         from handwritten_ocr_tpu.ops.flash_attention import flash_attention
-        out = flash_attention(q, k, v, scale=cfg.head_dim ** -0.5,
+        out = flash_attention(q, k, v, kv_mask, scale=cfg.head_dim ** -0.5,
                               interpret=(mode == "interpret"))
     else:
-        out = attention(q, k, v, mask=None, scale=cfg.head_dim ** -0.5)
+        mask = kv_mask[None, None, None, :]
+        out = attention(q, k, v, mask=mask, scale=cfg.head_dim ** -0.5)
     return linear(params["proj"], out.reshape(*x.shape[:-1], -1))
 
 
 def _attend_windows(params: dict, cfg: VisionConfig, x: jax.Array,
                     cos_w: jax.Array, sin_w: jax.Array,
-                    win_gather: jax.Array, win_valid: jax.Array,
-                    flat_from_win: jax.Array) -> jax.Array:
-    """Attention within uniform gathered windows (edge windows padded)."""
-    b, s, d = x.shape
-    xw = x[:, win_gather]                                  # [B, n_win, L, D]
+                    win_valid: jax.Array) -> jax.Array:
+    """Attention within uniform windows — pure reshapes, no gathers."""
+    b, p, _ = x.shape
+    n_win, win_len = win_valid.shape
+    xw = x.reshape(b, n_win, win_len, -1)
     q, k, v = _split_qkv(params, xw, cfg.num_heads)        # [B, n_win, L, H, hd]
     q, k = apply_rope(q, k,
                       cos_w[None, :, :, None, :], sin_w[None, :, :, None, :])
@@ -171,9 +188,7 @@ def _attend_windows(params: dict, cfg: VisionConfig, x: jax.Array,
     scores = jnp.where(mask, scores, jnp.finfo(jnp.float32).min)
     weights = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
     out = jnp.einsum("bwhts,bwshd->bwthd", weights, v)
-    out = out.reshape(b, win_gather.shape[0] * win_gather.shape[1], -1)
-    out = out[:, flat_from_win]                            # back to flat order
-    return linear(params["proj"], out)
+    return linear(params["proj"], out.reshape(b, p, -1))
 
 
 def vision_encode(params: dict, cfg: VisionConfig, patches: jax.Array,
@@ -190,30 +205,33 @@ def vision_encode(params: dict, cfg: VisionConfig, patches: jax.Array,
 
     x = patches @ params["patch_embed"]["w"]               # [B, S, D]
 
-    # Cell-level window permutation (tokens within a cell stay together).
+    # Cell-level window permutation, then ONE gather into padded layout.
     x = x.reshape(b, s // unit, unit, -1)
     x = x[:, jnp.asarray(plan.cell_perm)].reshape(b, s, -1)
+    valid = jnp.asarray(plan.valid)
+    x = x[:, jnp.asarray(plan.pad_from_flat)] * valid[:, None].astype(x.dtype)
 
-    cos = jnp.asarray(plan.cos)
-    sin = jnp.asarray(plan.sin)
-    win_gather = jnp.asarray(plan.win_gather)
-    win_valid = jnp.asarray(plan.win_valid)
-    flat_from_win = jnp.asarray(plan.flat_from_win)
-    cos_w, sin_w = cos[win_gather], sin[win_gather]
+    cos = jnp.asarray(plan.cos_pad)
+    sin = jnp.asarray(plan.sin_pad)
+    n_win, win_len = plan.n_windows, plan.window_len
+    win_valid = valid.reshape(n_win, win_len)
+    cos_w = cos.reshape(n_win, win_len, -1)
+    sin_w = sin.reshape(n_win, win_len, -1)
 
     full_layers = set(cfg.fullatt_block_indexes)
     for i, layer in enumerate(params["blocks"]):
         normed = rms_norm(layer["norm1"], x, _NORM_EPS)
         if i in full_layers:
-            attn_out = _attend_full(layer["attn"], cfg, normed, cos, sin)
+            attn_out = _attend_full(layer["attn"], cfg, normed, cos, sin, valid)
         else:
-            attn_out = _attend_windows(layer["attn"], cfg, normed, cos_w, sin_w,
-                                       win_gather, win_valid, flat_from_win)
+            attn_out = _attend_windows(layer["attn"], cfg, normed,
+                                       cos_w, sin_w, win_valid)
         x = x + attn_out
         x = x + swiglu_mlp(layer["mlp"], rms_norm(layer["norm2"], x, _NORM_EPS))
 
-    # Patch merger: RMSNorm at patch level, then fold each cell's `unit`
-    # patches into one vector and MLP to the LM width.
+    # ONE gather back to the permuted (unpadded) order, then the merger:
+    # RMSNorm at patch level, fold each cell's `unit` patches, MLP to LM width.
+    x = x[:, jnp.asarray(plan.flat_from_win)]
     merger = params["merger"]
     x = rms_norm(merger["ln_q"], x, _NORM_EPS)
     x = x.reshape(b, s // unit, unit * x.shape[-1])

@@ -13,7 +13,7 @@ Sources:
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Callable, Mapping
+from typing import Mapping
 
 import jax.numpy as jnp
 import numpy as np

@@ -27,7 +27,7 @@ from jax.experimental.pallas import tpu as pltpu
 _NEG_INF = float("-inf")
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref,
+def _flash_kernel(q_ref, k_ref, v_ref, kvm_ref, o_ref,
                   m_scratch, l_scratch, acc_scratch,
                   *, scale: float, causal: bool, block_q: int, block_k: int,
                   kv_len: int, num_k_blocks: int):
@@ -53,6 +53,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref,
         col = k_start + jax.lax.broadcasted_iota(
             jnp.int32, (block_q, block_k), 1)
         mask = col < kv_len
+        mask = mask & (kvm_ref[0] != 0)[None, :]          # per-key validity
         if causal:
             row = q_start + jax.lax.broadcasted_iota(
                 jnp.int32, (block_q, block_k), 0)
@@ -113,6 +114,7 @@ def flash_attention(
     q: jax.Array,            # [B, T, Hq, D]
     k: jax.Array,            # [B, S, Hkv, D]
     v: jax.Array,            # [B, S, Hkv, D]
+    kv_mask: jax.Array | None = None,   # [S] bool: False keys never attended
     *,
     causal: bool = False,
     scale: float | None = None,
@@ -130,11 +132,16 @@ def flash_attention(
         block_q = _auto_block(t)
     if block_k is None:
         block_k = _auto_block(s)
+    if kv_mask is None:
+        kv_mask = jnp.ones((s,), jnp.float32)
+    else:
+        kv_mask = kv_mask.astype(jnp.float32)
 
     # Layout: fold batch and heads; pad sequence dims to block multiples.
     qf = _pad_to(q.transpose(0, 2, 1, 3).reshape(b * hq, t, d), 1, block_q)
     kf = _pad_to(k.transpose(0, 2, 1, 3).reshape(b * hkv, s, d), 1, block_k)
     vf = _pad_to(v.transpose(0, 2, 1, 3).reshape(b * hkv, s, d), 1, block_k)
+    mf = _pad_to(kv_mask[None], 1, block_k)                # [1, s_pad]
     t_pad, s_pad = qf.shape[1], kf.shape[1]
     num_q_blocks = t_pad // block_q
     num_k_blocks = s_pad // block_k
@@ -152,6 +159,7 @@ def flash_attention(
                          lambda bh, qi, ki, grp=group: (bh // grp, ki, 0)),
             pl.BlockSpec((1, block_k, d),
                          lambda bh, qi, ki, grp=group: (bh // grp, ki, 0)),
+            pl.BlockSpec((1, block_k), lambda bh, qi, ki: (0, ki)),
         ],
         out_specs=pl.BlockSpec((1, block_q, d), lambda bh, qi, ki: (bh, qi, 0)),
         out_shape=jax.ShapeDtypeStruct((b * hq, t_pad, d), q.dtype),
@@ -161,6 +169,6 @@ def flash_attention(
             pltpu.VMEM((block_q, d), jnp.float32),
         ],
         interpret=interpret,
-    )(qf, kf, vf)
+    )(qf, kf, vf, mf)
 
     return out[:, :t].reshape(b, hq, t, d).transpose(0, 2, 1, 3)
