@@ -68,3 +68,27 @@ def test_flash_bf16_io():
     np.testing.assert_allclose(np.asarray(got, dtype=np.float32),
                                np.asarray(expected, dtype=np.float32),
                                rtol=2e-2, atol=2e-2)
+
+
+def test_bf16_rope_fast_path_close_to_fp32(monkeypatch):
+    """bf16-compute rope stays within bf16 rounding of the fp32 path."""
+    import jax.numpy as jnp
+    from handwritten_ocr_tpu.models.layers import apply_rope
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.standard_normal((2, 16, 4, 32)).astype(np.float32))
+    cos = jnp.asarray(np.cos(rng.standard_normal((16, 1, 32))).astype(np.float32))
+    sin = jnp.asarray(np.sin(rng.standard_normal((16, 1, 32))).astype(np.float32))
+
+    q16 = q.astype(jnp.bfloat16)
+    fast_q, _ = apply_rope(q16, q16, cos, sin)
+    monkeypatch.setenv("HOCR_TPU_ROPE_FP32", "1")
+    exact_q, _ = apply_rope(q16, q16, cos, sin)
+    diff = np.abs(np.asarray(fast_q, np.float32) - np.asarray(exact_q, np.float32))
+    assert diff.max() <= 0.05  # a few bf16 ulps at |x|~2
+
+    # fp32 inputs are bit-identical regardless of the flag.
+    monkeypatch.delenv("HOCR_TPU_ROPE_FP32")
+    a32, _ = apply_rope(q, q, cos, sin)
+    monkeypatch.setenv("HOCR_TPU_ROPE_FP32", "1")
+    b32, _ = apply_rope(q, q, cos, sin)
+    np.testing.assert_array_equal(np.asarray(a32), np.asarray(b32))
