@@ -60,6 +60,17 @@ def build_config(scale: str):
                             num_attention_heads=16, num_key_value_heads=2,
                             mrope_section=(16, 24, 24)),
         )
+    if scale == "7b":         # olmOCR-2-7B / Qwen2.5-VL-7B dims (flagship)
+        return VLConfig(
+            vision=VisionConfig(depth=32, hidden_size=1280,
+                                intermediate_size=3420, num_heads=16,
+                                out_hidden_size=3584,
+                                fullatt_block_indexes=(7, 15, 23, 31)),
+            text=TextConfig(vocab_size=152064, hidden_size=3584,
+                            intermediate_size=18944, num_hidden_layers=28,
+                            num_attention_heads=28, num_key_value_heads=4,
+                            mrope_section=(16, 24, 24)),
+        )
     raise SystemExit(f"unknown HOCR_BENCH_SCALE={scale}")
 
 
@@ -96,14 +107,14 @@ def main() -> None:
 
     cfg = build_config(scale)
     dtype = jnp.bfloat16 if jax.default_backend() != "cpu" else jnp.float32
-    params = init_vl(jax.random.PRNGKey(0), cfg, dtype=dtype)
-    # Serving default: weight-only int8 (near-lossless, ~20% faster e2e —
-    # the decode step is weight-bandwidth-bound). HOCR_BENCH_QUANT=off for
-    # the bf16 path.
+    # Serving default: weight-only int8 (near-lossless, faster e2e — the
+    # decode step is weight-bandwidth-bound) built directly at init so the
+    # full-precision tree never materializes (required for 7B on 16 GB).
+    # HOCR_BENCH_QUANT=off for the bf16 path.
     quant = os.environ.get("HOCR_BENCH_QUANT", "int8")
-    if quant == "int8" and jax.default_backend() == "tpu":
-        from handwritten_ocr_tpu.models.quant import quantize_tree
-        params = quantize_tree(params)
+    use_int8 = quant == "int8" and jax.default_backend() == "tpu"
+    params = init_vl(jax.random.PRNGKey(0), cfg, dtype=dtype,
+                     quantize="int8" if use_int8 else None)
     model = VLModel(params, cfg)
 
     pages = synthetic_pages(n_pages)
@@ -150,7 +161,10 @@ def main() -> None:
     baseline_file = Path(__file__).parent / "bench_baseline.json"
     if baseline_file.exists():
         baseline = json.loads(baseline_file.read_text())
-        cpu = baseline.get("cpu_pages_per_sec")
+        # Per-scale entries ({"3b": {...}, "7b": {...}}) with back-compat
+        # for the original flat layout.
+        entry = baseline.get(scale, baseline)
+        cpu = entry.get("cpu_pages_per_sec")
         if cpu:
             vs_baseline = round(pages_per_sec / cpu, 2)
 

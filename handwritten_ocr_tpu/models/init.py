@@ -17,10 +17,21 @@ def _split(key, n):
     return list(jax.random.split(key, n))
 
 
-def _linear(key, d_in, d_out, dtype, bias=False, scale=0.02):
+_QUANTIZE = False  # module-level switch set by init_vl(quantize=...)
+
+
+def _linear(key, d_in, d_out, dtype, bias=False, scale=0.02, quant_ok=True):
     kw, kb = jax.random.split(key)
-    params = {"w": (jax.random.normal(kw, (d_in, d_out), jnp.float32)
-                    * scale).astype(dtype)}
+    w = (jax.random.normal(kw, (d_in, d_out), jnp.float32) * scale)
+    if _QUANTIZE and quant_ok:
+        # Quantize immediately so the full-precision tree never
+        # materializes (a bf16 7B tree alone would exhaust a 16 GB chip).
+        # Layout matches models/quant.quantize_tree (projections only;
+        # patch_embed / lm_head callers pass quant_ok=False).
+        from handwritten_ocr_tpu.models.quant import _quantize_linear
+        params = _quantize_linear({"w": w})
+    else:
+        params = {"w": w.astype(dtype)}
     if bias:
         params["b"] = jnp.zeros((d_out,), dtype)
     return params
@@ -59,7 +70,8 @@ def init_vision(key, cfg: VisionConfig, dtype=jnp.bfloat16) -> dict:
     k_m1, k_m2 = jax.random.split(keys[-1])
     merged = cfg.hidden_size * cfg.spatial_merge_unit
     return {
-        "patch_embed": _linear(keys[-2], patch_dim, cfg.hidden_size, dtype),
+        "patch_embed": _linear(keys[-2], patch_dim, cfg.hidden_size, dtype,
+                               quant_ok=False),
         "blocks": blocks,
         "merger": {
             "ln_q": _norm(cfg.hidden_size, dtype),
@@ -105,12 +117,20 @@ def init_text(key, cfg, dtype=jnp.bfloat16, qk_norm: bool = False,
     }
     if not cfg.tie_word_embeddings:
         tree["lm_head"] = _linear(keys[-2], cfg.hidden_size, cfg.vocab_size,
-                                  dtype)
+                                  dtype, quant_ok=False)
     return tree
 
 
-def init_vl(key, cfg: VLConfig, dtype=jnp.bfloat16) -> dict:
-    kv, kt = jax.random.split(key)
-    return {"vision": init_vision(kv, cfg.vision, dtype),
-            "text": init_text(kt, cfg.text, dtype, qk_norm=False,
-                              attn_bias=True)}
+def init_vl(key, cfg: VLConfig, dtype=jnp.bfloat16,
+            quantize: str | None = None) -> dict:
+    """Random VL params; ``quantize='int8'`` builds projections directly
+    as int8 (layout identical to models/quant.quantize_tree output)."""
+    global _QUANTIZE
+    _QUANTIZE = quantize == "int8"
+    try:
+        kv, kt = jax.random.split(key)
+        return {"vision": init_vision(kv, cfg.vision, dtype),
+                "text": init_text(kt, cfg.text, dtype, qk_norm=False,
+                                  attn_bias=True)}
+    finally:
+        _QUANTIZE = False

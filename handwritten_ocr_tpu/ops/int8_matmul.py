@@ -39,6 +39,16 @@ def _kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, *, n_in_blocks: int):
         o_ref[0] = (acc_ref[:] * s_ref[:]).astype(o_ref.dtype)
 
 
+def _fit_block(dim: int, preferred: int) -> int | None:
+    """Largest 128-multiple ≤ preferred that divides ``dim`` (None if none)."""
+    candidate = (min(preferred, dim) // 128) * 128
+    while candidate >= 128:
+        if dim % candidate == 0:
+            return candidate
+        candidate -= 128
+    return None
+
+
 def int8_matmul_supported(d_in: int, d_out: int) -> bool:
     """Whether the kernel path is worthwhile (padding handles alignment)."""
     return d_in >= 128 and d_out >= 128
@@ -58,12 +68,16 @@ def int8_matmul(
     """(x @ dequant(w8)) with per-output-channel scales; out in x.dtype."""
     batch, d_in = x.shape
     d_out = w8.shape[1]
-    # Awkward dims (e.g. 11008 = 86·128, largest useful divisor 256) force
-    # tiny blocks that leave the DMA pipeline latency-bound. Pad to the
-    # block grid instead: zero columns/rows cost <2% extra bytes and keep
-    # blocks at bandwidth-friendly sizes.
-    block_in = min(block_in, _round_up(d_in, 128))
-    block_out = min(block_out, _round_up(d_out, 128))
+    # Prefer a large divisor block (zero-copy); only when no >=384 divisor
+    # exists (e.g. 11008 = 86·128 → best divisor 256, DMA-latency-bound)
+    # pad to the block grid — the padded weight copy is hoisted out of
+    # decode loops, so it costs memory once, not bandwidth per step.
+    fit_in = _fit_block(d_in, block_in)
+    fit_out = _fit_block(d_out, block_out)
+    block_in = fit_in if fit_in is not None else min(block_in,
+                                                     _round_up(d_in, 128))
+    block_out = fit_out if fit_out is not None and fit_out >= 384 \
+        else min(block_out, _round_up(d_out, 128))
     in_pad = (-d_in) % block_in
     out_pad = (-d_out) % block_out
     if in_pad:

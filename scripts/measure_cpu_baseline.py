@@ -26,6 +26,8 @@ import numpy as np
 
 
 def main() -> None:
+    import os
+
     import cv2
     import torch
     from transformers import Qwen2_5_VLConfig, Qwen2_5_VLForConditionalGeneration
@@ -35,7 +37,8 @@ def main() -> None:
 
     torch.set_num_threads(max(torch.get_num_threads(), 1))
 
-    cfg = build_config("3b")
+    scale = os.environ.get("HOCR_BENCH_SCALE", "3b")
+    cfg = build_config(scale)
     hf_cfg = Qwen2_5_VLConfig(
         text_config=dict(
             vocab_size=cfg.text.vocab_size, hidden_size=cfg.text.hidden_size,
@@ -132,8 +135,14 @@ def main() -> None:
         "host": "1-core CPU (this machine)",
     }
     out_path = Path(__file__).parent.parent / "bench_baseline.json"
-    out_path.write_text(json.dumps(result, indent=2) + "\n")
-    print(json.dumps(result))
+    existing = {}
+    if out_path.exists():
+        existing = json.loads(out_path.read_text())
+        if "cpu_pages_per_sec" in existing:   # legacy flat layout
+            existing = {"3b": existing}
+    existing[scale] = result
+    out_path.write_text(json.dumps(existing, indent=2) + "\n")
+    print(json.dumps({scale: result}))
 
 
 if __name__ == "__main__":
