@@ -7,10 +7,10 @@ reference's second strategy) → HF-order patch packing → batched VLM
 vision encode + prefill (one dispatch) → greedy decode of
 ``HOCR_BENCH_DECODE`` tokens in one on-device while_loop dispatch.
 
-Model: Qwen2.5-VL **3B-class** config (real architecture/ratios; largest
-tier that fits a single 16 GB v5e chip in bf16 — the 7B flagship needs
-TP≥2, validated separately by dryrun_multichip). Weights are random bf16;
-throughput is weight-value-independent.
+Model: the **7B flagship** (olmOCR-2 / Qwen2.5-VL-7B dims) in weight-only
+int8 — fits a single 16 GB v5e chip (bf16 needs TP≥2, validated by
+dryrun_multichip); ``HOCR_BENCH_SCALE=3b`` benches the 3B tier (batch 32).
+Weights are random; throughput is weight-value-independent.
 
 vs_baseline: ratio against the torch-CPU reference measurement stored in
 ``bench_baseline.json`` (same architecture/workload, measured by
@@ -89,12 +89,14 @@ def synthetic_pages(n_pages: int, height: int = 924, width: int = 672):
 
 
 def main() -> None:
-    # Default batch 32: decode is weight-bandwidth-bound, so pages/sec
-    # scales with batch (4→1.8, 8→3.1, 16→3.7, 32→4.0 pages/s measured);
-    # 32 fits the 16 GB chip with margin (KV ~5.9 GB + int8 params ~3.5 GB).
-    # Folder workloads genuinely batch this way (PrimedOCRBackend/lockstep).
-    scale = os.environ.get("HOCR_BENCH_SCALE", "3b")
-    n_pages = int(os.environ.get("HOCR_BENCH_PAGES", "32"))
+    # Defaults: the 7B flagship (olmOCR-2 dims) in int8 at batch 8 — the
+    # largest page batch that fits one 16 GB chip alongside the ~9.4 GB
+    # int8 weights. Decode is weight-bandwidth-bound so pages/sec scales
+    # with batch (3B: 4/8/16/32 → 1.8/3.1/3.7/4.0 pages/s); folder
+    # workloads genuinely batch this way (PrimedOCRBackend / lockstep).
+    scale = os.environ.get("HOCR_BENCH_SCALE", "7b")
+    default_pages = {"7b": 8, "3b": 32}.get(scale, 2)
+    n_pages = int(os.environ.get("HOCR_BENCH_PAGES", str(default_pages)))
     decode_tokens = int(os.environ.get("HOCR_BENCH_DECODE", "160"))
     iters = int(os.environ.get("HOCR_BENCH_ITERS", "3"))
 

@@ -58,7 +58,7 @@ def main() -> None:
             fullatt_block_indexes=list(cfg.vision.fullatt_block_indexes),
         ),
     )
-    print("instantiating 3B-class torch model (random weights)...", flush=True)
+    print(f"instantiating {scale} torch model (random weights)...", flush=True)
     torch.manual_seed(0)
     model = Qwen2_5_VLForConditionalGeneration(hf_cfg).eval()
 
