@@ -20,3 +20,30 @@ Design differences from the reference (see SURVEY.md):
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    """Lazy top-level API (keeps `import handwritten_ocr_tpu` light)."""
+    from importlib import import_module
+
+    exports = {
+        "OCRPipeline": "handwritten_ocr_tpu.graph",
+        "LockstepPipeline": "handwritten_ocr_tpu.graph.batch_driver",
+        "RunConfig": "handwritten_ocr_tpu.config",
+        "OCRState": "handwritten_ocr_tpu.state",
+        "initial_state": "handwritten_ocr_tpu.state",
+        "Trace": "handwritten_ocr_tpu.trace",
+        "evaluate": "handwritten_ocr_tpu.evaluation",
+        "build_jax_pipeline": "handwritten_ocr_tpu.engine.jax_engines",
+        "normalize_text": "handwritten_ocr_tpu.text",
+        "levenshtein": "handwritten_ocr_tpu.text",
+        "cer": "handwritten_ocr_tpu.text",
+        "wer": "handwritten_ocr_tpu.text",
+        "tier1_metrics": "handwritten_ocr_tpu.text",
+        "compare_versions": "handwritten_ocr_tpu.text",
+        "merge_versions": "handwritten_ocr_tpu.text",
+        "parse_ground_truth": "handwritten_ocr_tpu.text",
+    }
+    if name in exports:
+        return getattr(import_module(exports[name]), name)
+    raise AttributeError(f"module 'handwritten_ocr_tpu' has no attribute {name!r}")
