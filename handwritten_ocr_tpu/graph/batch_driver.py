@@ -49,7 +49,10 @@ class LockstepPipeline:
 
     # ── phase 1: batched initial reads across all pages ───────────
     def _initial_ocr_all(self, states: list[dict]) -> None:
-        plans: list[tuple[int, PreparedImage, str]] = []   # (page, img, label)
+        # (page, img, label, buffered preprocess event) — the preprocess
+        # event is spliced in right before its ocr event so every page's
+        # trace interleaves per pass in reference order (nodes.py:42-70).
+        plans: list[tuple[int, PreparedImage, str, dict]] = []
         for index, state in enumerate(states):
             strategies = list(state["config"]["strategies"])[:2] or ["original"]
             seen: set[str] = set()
@@ -59,20 +62,21 @@ class LockstepPipeline:
                     continue
                 seen.add(label)
                 prepared = self.preprocessor.apply(state["image_path"], strategy)
-                plans.append((index, prepared, label))
-                state["strategies_used"].append(label)
-                state["trace_events"].append(trace_log(
+                pre_event = trace_log(
                     state, iteration=0, agent="reader", action="preprocess",
                     input_summary=f"Image: {state['image_path']}",
                     output_summary=f"Preprocessed with '{label}'",
-                    metrics={"strategy": label}, quiet=self.quiet))
+                    metrics={"strategy": label}, quiet=self.quiet)
+                plans.append((index, prepared, label, pre_event))
+                state["strategies_used"].append(label)
 
-        texts = self._read([img for _, img, _ in plans], states[0])
-        for (index, _, label), text in zip(plans, texts):
+        texts = self._read([img for _, img, _, _ in plans], states[0])
+        for (index, _, label, pre_event), text in zip(plans, texts):
             state = states[index]
             state["candidates"].append({
                 "text": text, "source": f"ocr_{label}",
                 "ocr_params": {"strategy": label}, "score": None})
+            state["trace_events"].append(pre_event)
             state["trace_events"].append(trace_log(
                 state, iteration=0, agent="reader", action="ocr",
                 input_summary=f"Preprocessed image ({label})",

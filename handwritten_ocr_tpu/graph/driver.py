@@ -145,8 +145,11 @@ class OCRPipeline:
 
         Behavioral contract per pass matches _do_ocr_pass (nodes.py:27-70):
         label dedup, candidate dict shape, and the preprocess + ocr trace
-        events; the TPU difference is that all passes share one batched
-        ``read_batch`` call.
+        events **interleaved per pass in reference order** (preprocess, ocr,
+        preprocess, ocr — nodes.py:42-70); the TPU difference is that all
+        passes share one batched ``read_batch`` call, so the preprocess
+        events are buffered at prepare time and spliced into per-pass order
+        once the batched read returns.
         """
         fresh: list[tuple[str, str | Sequence[str]]] = []
         for strat in strategies:
@@ -158,10 +161,11 @@ class OCRPipeline:
             return
 
         prepared: list[PreparedImage] = []
+        preprocess_events: list[dict] = []
         for label, strat in fresh:
             strategies_used.append(label)
             prepared.append(self.preprocessor.apply(state["image_path"], strat))
-            trace_events.append(trace_log(
+            preprocess_events.append(trace_log(
                 state,
                 iteration=iteration,
                 agent="reader",
@@ -176,13 +180,14 @@ class OCRPipeline:
         max_new = state["config"].get("ocr_max_new_tokens") or _default_max_new_tokens()
         texts = self.ocr.read_batch(prepared, prompt, max_new)
 
-        for (label, _), text in zip(fresh, texts):
+        for (label, _), text, pre_event in zip(fresh, texts, preprocess_events):
             candidates.append({
                 "text": text,
                 "source": f"ocr_{label}",
                 "ocr_params": {"strategy": label},
                 "score": None,
             })
+            trace_events.append(pre_event)
             trace_events.append(trace_log(
                 state,
                 iteration=iteration,

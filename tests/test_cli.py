@@ -40,7 +40,7 @@ def test_single_image_artifacts(tmp_path, capsys):
     assert (tmp_path / "page1_transcription.txt").read_text() == "hello world"
     trace = json.loads((tmp_path / "page1_trace.json").read_text())
     assert [e["action"] for e in trace] == [
-        "preprocess", "preprocess", "ocr", "ocr", "compare", "merge",
+        "preprocess", "ocr", "preprocess", "ocr", "compare", "merge",
         "critique", "accept",
     ]
     summary = (tmp_path / "page1_trace_summary.txt").read_text()

@@ -106,8 +106,11 @@ def test_accept_first_iteration():
     # High agreement (identical reads) → no tiebreaker third read.
     assert len(final["candidates"]) == 2
     assert ocr.release_count == 1
+    # Per-pass interleaving matches the reference (nodes.py:42-70):
+    # preprocess, ocr, preprocess, ocr — even though the two reads share
+    # one batched forward.
     actions = [e["action"] for e in final["trace_events"]]
-    assert actions == ["preprocess", "preprocess", "ocr", "ocr",
+    assert actions == ["preprocess", "ocr", "preprocess", "ocr",
                        "compare", "merge", "critique", "accept"]
 
 
