@@ -198,13 +198,35 @@ class JaxOCRBackend:
 
 
 class JaxReasoningBackend:
-    """On-device Qwen3 chat decode for the critic/editor/arbitrator."""
+    """On-device Qwen3 chat decode for the critic/editor/arbitrator.
+
+    With :meth:`shard`, the reasoning model runs tensor-parallel over the
+    mesh's "model" axis — this is how the 32B flagship (qwen3:32b, ref
+    config.py:8) serves on v5e-class chips: int8 weights ≈ 32.8 GB need
+    TP≥4 at 16 GB/chip, and TP-sharding both engines over one mesh keeps
+    the 7B VLM + 32B LLM co-resident with no load/unload thrash
+    (parallel/budget.py carries the HBM arithmetic).
+    """
 
     def __init__(self, model, tokenizer: TextTokenizer,
                  enable_thinking: bool = cfg_mod.LLM_ENABLE_THINKING):
         self.model = model
         self.tokenizer = tokenizer
         self.enable_thinking = enable_thinking
+        self.mesh = None
+
+    def shard(self, mesh, fsdp: bool = False) -> "JaxReasoningBackend":
+        """Place model params on ``mesh`` (TP over "model", opt. FSDP)."""
+        from handwritten_ocr_tpu.parallel.sharding import shard_params
+        self.model.params = shard_params(mesh, self.model.params, fsdp=fsdp)
+        self.mesh = mesh
+        return self
+
+    def _run(self, fn, *args, **kwargs):
+        if self.mesh is not None:
+            with self.mesh:
+                return fn(*args, **kwargs)
+        return fn(*args, **kwargs)
 
     @classmethod
     def from_pretrained(cls, model_dir: str | Path, dtype=jnp.bfloat16,
@@ -235,13 +257,13 @@ class JaxReasoningBackend:
                                  enable_thinking=self.enable_thinking)
         ids = np.array([self.tokenizer.encode(prompt)], dtype=np.int32)
         if json_schema is not None:
-            constrained = self.model.generate_json(ids, max_tokens,
-                                                   self.tokenizer)
+            constrained = self._run(self.model.generate_json, ids, max_tokens,
+                                    self.tokenizer)
             if constrained:
                 return constrained
             # No viable constrained output: fall through to free decode
             # (the caller's parse ladder takes over).
-        gen = self.model.generate(ids, max_tokens)
+        gen = self._run(self.model.generate, ids, max_tokens)
         length = int(np.asarray(gen.lengths)[0])
         return self.tokenizer.decode(np.asarray(gen.tokens)[0, :length].tolist())
 
@@ -263,7 +285,8 @@ class JaxReasoningBackend:
         for row, ids in enumerate(encoded):
             batch_ids[row, longest - len(ids):] = ids
             pad_mask[row, longest - len(ids):] = True
-        gen = self.model.generate(batch_ids, max_tokens, pad_mask=pad_mask)
+        gen = self._run(self.model.generate, batch_ids, max_tokens,
+                        pad_mask=pad_mask)
         tokens = np.asarray(gen.tokens)
         lengths = np.asarray(gen.lengths)
         return [self.tokenizer.decode(tokens[row, :lengths[row]].tolist())

@@ -121,6 +121,18 @@ def init_text(key, cfg, dtype=jnp.bfloat16, qk_norm: bool = False,
     return tree
 
 
+def init_qwen3(key, cfg, dtype=jnp.bfloat16,
+               quantize: str | None = None) -> dict:
+    """Random Qwen3 params (QK-norm, no attention biases) in the
+    converter's layout (models/weights.py:convert_qwen3)."""
+    global _QUANTIZE
+    _QUANTIZE = quantize == "int8"
+    try:
+        return init_text(key, cfg, dtype, qk_norm=True, attn_bias=False)
+    finally:
+        _QUANTIZE = False
+
+
 def init_vl(key, cfg: VLConfig, dtype=jnp.bfloat16,
             quantize: str | None = None) -> dict:
     """Random VL params; ``quantize='int8'`` builds projections directly

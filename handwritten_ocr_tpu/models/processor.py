@@ -184,6 +184,37 @@ class TextTokenizer(Protocol):
     def decode(self, ids: Sequence[int]) -> str: ...
 
 
+class ByteTokenizer:
+    """Model-free tokenizer: chars → byte ids, ``<|...|>`` specials → real
+    Qwen special ids. Powers weights-free drives (dryrun_multichip, tiny
+    real-architecture benches) where an HF tokenizer file isn't available
+    but prompt structure must still round-trip."""
+
+    SPECIALS = {
+        IM_START: 151644, IM_END: 151645,
+        VISION_START: 151652, VISION_END: 151653, IMAGE_PAD: 151655,
+        "<think>": 151667, "</think>": 151668,
+    }
+
+    def __init__(self) -> None:
+        import re
+        self._pattern = re.compile(
+            "|".join(re.escape(s) for s in self.SPECIALS))
+
+    def encode(self, text: str) -> list[int]:
+        out: list[int] = []
+        pos = 0
+        for match in self._pattern.finditer(text):
+            out.extend(min(ord(c), 255) for c in text[pos:match.start()])
+            out.append(self.SPECIALS[match.group()])
+            pos = match.end()
+        out.extend(min(ord(c), 255) for c in text[pos:])
+        return out
+
+    def decode(self, ids) -> str:
+        return "".join(chr(i) for i in ids if i < 256)
+
+
 class HFTokenizer:
     """transformers AutoTokenizer wrapper (loads from a local model dir)."""
 

@@ -144,3 +144,60 @@ def test_sharded_ocr_backend_matches_unsharded(tmp_path):
                             min_pixels=28 * 28, max_pixels=56 * 56).shard(mesh)
     got = sharded.read_batch(imgs, "Extract.", 5)
     assert got == expected
+
+
+def test_tp_qwen3_decode_matches_replicated():
+    """TP-sharded reasoning decode (the 32B serving path) == replicated.
+
+    The flagship qwen3:32b (ref config.py:8) must shard TP>=4 to fit
+    v5e-class HBM; this validates the sharded greedy decode bit-matches
+    single-device execution at tiny scale on the virtual mesh.
+    """
+    from handwritten_ocr_tpu.models.init import init_qwen3
+    from handwritten_ocr_tpu.models.qwen3 import Qwen3Config, Qwen3Model
+
+    cfg = Qwen3Config(vocab_size=512, hidden_size=64, intermediate_size=128,
+                      num_hidden_layers=2, num_attention_heads=8,
+                      num_key_value_heads=4, head_dim=16, eos_token_id=0)
+    params = init_qwen3(jax.random.PRNGKey(3), cfg, dtype=jnp.float32)
+    ids = np.arange(1, 13, dtype=np.int32)[None].repeat(2, axis=0)
+    expected = Qwen3Model(params, cfg).generate(ids, 8)
+    expected_tokens = np.asarray(expected.tokens)
+
+    mesh = make_mesh(8, model_parallel=4)
+    with mesh:
+        sharded = shard_params(mesh, params)
+        got = Qwen3Model(sharded, cfg).generate(ids, 8)
+        got_tokens = np.asarray(got.tokens)
+
+    np.testing.assert_array_equal(got_tokens, expected_tokens)
+    np.testing.assert_array_equal(np.asarray(got.lengths),
+                                  np.asarray(expected.lengths))
+
+
+def test_sharded_reasoning_backend_chat_batch():
+    """JaxReasoningBackend.shard: batched chat runs TP-sharded and matches."""
+    import sys
+    sys.path.insert(0, "tests")
+    from test_engines import ByteTokenizer
+    from handwritten_ocr_tpu.engine.jax_engines import JaxReasoningBackend
+    from handwritten_ocr_tpu.models.init import init_qwen3
+    from handwritten_ocr_tpu.models.qwen3 import Qwen3Config, Qwen3Model
+
+    cfg = Qwen3Config(vocab_size=512, hidden_size=64, intermediate_size=128,
+                      num_hidden_layers=2, num_attention_heads=8,
+                      num_key_value_heads=4, head_dim=16, eos_token_id=0)
+    params = init_qwen3(jax.random.PRNGKey(5), cfg, dtype=jnp.float32)
+
+    class Req:
+        def __init__(self, system, user):
+            self.system, self.user = system, user
+
+    reqs = [Req("sys", "check this text"), Req("sys", "another page entirely")]
+    plain = JaxReasoningBackend(Qwen3Model(params, cfg), ByteTokenizer())
+    expected = plain.chat_batch(reqs, temperature=0.1, max_tokens=6)
+
+    mesh = make_mesh(8, model_parallel=4)
+    sharded = JaxReasoningBackend(Qwen3Model(params, cfg),
+                                  ByteTokenizer()).shard(mesh)
+    assert sharded.chat_batch(reqs, temperature=0.1, max_tokens=6) == expected
