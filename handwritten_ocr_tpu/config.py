@@ -57,6 +57,16 @@ DECODE_BLOCK = 128
 # Pages per device in batch mode (folder workloads).
 PAGES_PER_DEVICE = 1
 
+# ── Continuous-batching serving (engine/serving.py) ──────────────────
+# Fixed decode-slot count (static batch width of the serving program).
+SERVE_SLOTS = 8
+# KV block granularity in tokens; pool block 0 is the reserved trash sink.
+SERVE_BLOCK_SIZE = 64
+# Decode steps per dispatch — the admission/retirement/streaming cadence.
+SERVE_CHUNK = 16
+# Prompt lengths pad up to a multiple of this (bounds compiled prefills).
+SERVE_PREFILL_BUCKET = 128
+
 
 @dataclasses.dataclass(frozen=True)
 class RunConfig:

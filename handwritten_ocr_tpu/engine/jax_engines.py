@@ -88,19 +88,45 @@ class JaxOCRBackend:
 
     def __init__(self, model, tokenizer: TextTokenizer,
                  min_pixels: int = cfg_mod.OCR_MIN_PIXELS,
-                 max_pixels: int = cfg_mod.OCR_MAX_PIXELS):
+                 max_pixels: int = cfg_mod.OCR_MAX_PIXELS,
+                 serving: str | None = None):
         self.model = model
         self.tokenizer = tokenizer
         self.min_pixels = min_pixels
         self.max_pixels = max_pixels
         self.mesh = None
+        # "paged" (default): continuous batching over the paged KV cache —
+        # pages that hit EOS release their blocks/slot mid-batch and decode
+        # slots are shared across grid groups. "dense": contiguous
+        # per-batch cache (the A/B reference path).
+        self.serving = serving or os.environ.get("HOCR_VL_SERVING", "paged")
+        self._batcher = None
 
     def shard(self, mesh, fsdp: bool = False) -> "JaxOCRBackend":
         """Place model params on ``mesh`` (TP over "model", opt. FSDP)."""
         from handwritten_ocr_tpu.parallel.sharding import shard_params
         self.model.params = shard_params(mesh, self.model.params, fsdp=fsdp)
         self.mesh = mesh
+        self._batcher = None                 # rebuild against sharded params
         return self
+
+    def _ensure_batcher(self, needed_context: int):
+        """(Re)build the serving batcher when the context bound grows."""
+        from handwritten_ocr_tpu.engine.serving import (
+            ContinuousBatcher, PagedProgram)
+        block = cfg_mod.SERVE_BLOCK_SIZE
+        context = -(-needed_context // block) * block
+        if self._batcher is None or self._batcher.max_context < context:
+            config = self.model.config
+            program = PagedProgram(self.model.params["text"], config.text,
+                                   eos_token_id=config.eos_token_id,
+                                   mesh=self.mesh)
+            self._batcher = ContinuousBatcher(
+                program, n_slots=cfg_mod.SERVE_SLOTS, block_size=block,
+                max_context=context, chunk=cfg_mod.SERVE_CHUNK,
+                prefill_bucket=cfg_mod.SERVE_PREFILL_BUCKET,
+                dtype=self.model.params["text"]["embed"]["w"].dtype)
+        return self._batcher
 
     def _place_batch(self, patches):
         """Shard the page batch over the mesh's "data" axis when sharded."""
@@ -157,13 +183,11 @@ class JaxOCRBackend:
                             max_pixels=self.max_pixels)
         return jnp.asarray(packed.patches), packed.grid
 
-    def read_batch(self, images: Sequence, prompt: str,
-                   max_new_tokens: int) -> list[str]:
+    def _grid_groups(self, images: Sequence):
+        """Pack images and group identical grids (all strategies of one
+        page share a grid; mixed-page batches fall into grid groups)."""
         packed = [self._pack_one(getattr(img, "data", img)) for img in images]
-        # Group identical grids into one batched forward (all strategies of
-        # one page share a grid; mixed-page batches fall into grid groups).
         order = sorted(range(len(packed)), key=lambda i: packed[i][1])
-        results: list[str | None] = [None] * len(packed)
         start = 0
         while start < len(order):
             end = start
@@ -171,7 +195,22 @@ class JaxOCRBackend:
             while end < len(order) and packed[order[end]][1] == grid:
                 end += 1
             group = order[start:end]
-            patches = self._place_batch(jnp.stack([packed[i][0] for i in group]))
+            patches = self._place_batch(
+                jnp.stack([packed[i][0] for i in group]))
+            yield group, grid, patches
+            start = end
+
+    def read_batch(self, images: Sequence, prompt: str,
+                   max_new_tokens: int) -> list[str]:
+        if self.serving == "paged":
+            return self._read_batch_paged(images, prompt, max_new_tokens)
+        return self._read_batch_dense(images, prompt, max_new_tokens)
+
+    def _read_batch_dense(self, images: Sequence, prompt: str,
+                          max_new_tokens: int) -> list[str]:
+        """Contiguous-cache path: one batched generate per grid group."""
+        results: list[str | None] = [None] * len(images)
+        for group, grid, patches in self._grid_groups(images):
             n_llm_tokens = grid[0] * grid[1] * grid[2] // 4
             ids_row = self._prompt_ids(prompt, n_llm_tokens)
             input_ids = np.tile(ids_row, (len(group), 1))
@@ -187,8 +226,42 @@ class JaxOCRBackend:
             for row, img_idx in enumerate(group):
                 results[img_idx] = self.tokenizer.decode(
                     tokens[row, : lengths[row]].tolist())
-            start = end
         return results  # type: ignore[return-value]
+
+    def _read_batch_paged(self, images: Sequence, prompt: str,
+                          max_new_tokens: int) -> list[str]:
+        """Serving path: vision encode + splice per grid group, then ALL
+        pages decode together through the continuous batcher — slots are
+        shared across grid groups and a page that finishes early frees its
+        KV blocks for queued pages immediately."""
+        from handwritten_ocr_tpu.engine.serving import GenRequest
+        from handwritten_ocr_tpu.models.qwen25vl.model import (
+            rope_index_for_prompt)
+
+        requests: list[GenRequest | None] = [None] * len(images)
+        longest = 0
+        for group, grid, patches in self._grid_groups(images):
+            n_llm_tokens = grid[0] * grid[1] * grid[2] // 4
+            ids_row = self._prompt_ids(prompt, n_llm_tokens)
+            positions, delta = rope_index_for_prompt(
+                ids_row, self.model.config, [grid])
+            input_ids = jnp.asarray(np.tile(ids_row, (len(group), 1)))
+            if self.mesh is not None:
+                with self.mesh:
+                    embeds = self.model.prompt_embeds(
+                        self.model.params, input_ids, patches, grid)
+            else:
+                embeds = self.model.prompt_embeds(
+                    self.model.params, input_ids, patches, grid)
+            longest = max(longest, len(ids_row))
+            for row, img_idx in enumerate(group):
+                requests[img_idx] = GenRequest(
+                    prompt_ids=ids_row, max_new=max_new_tokens,
+                    positions=positions, rope_delta=delta,
+                    embeds=embeds[row])
+        batcher = self._ensure_batcher(longest + max_new_tokens)
+        token_lists = batcher.run(requests)  # type: ignore[arg-type]
+        return [self.tokenizer.decode(tokens) for tokens in token_lists]
 
     def read(self, image, prompt: str, max_new_tokens: int) -> str:
         return self.read_batch([image], prompt, max_new_tokens)[0]
@@ -209,17 +282,26 @@ class JaxReasoningBackend:
     """
 
     def __init__(self, model, tokenizer: TextTokenizer,
-                 enable_thinking: bool = cfg_mod.LLM_ENABLE_THINKING):
+                 enable_thinking: bool = cfg_mod.LLM_ENABLE_THINKING,
+                 serving: str | None = None, stream: bool = False):
         self.model = model
         self.tokenizer = tokenizer
         self.enable_thinking = enable_thinking
         self.mesh = None
+        # "paged" (default): continuous batching — mixed-length agent calls
+        # share slots, finished calls free blocks mid-batch, and tokens
+        # stream to the host every chunk. "dense": contiguous-cache A/B path.
+        self.serving = serving or os.environ.get("HOCR_LLM_SERVING", "paged")
+        # Live token streaming to stdout (reference tools.py:187-208).
+        self.stream = stream
+        self._batcher = None
 
     def shard(self, mesh, fsdp: bool = False) -> "JaxReasoningBackend":
         """Place model params on ``mesh`` (TP over "model", opt. FSDP)."""
         from handwritten_ocr_tpu.parallel.sharding import shard_params
         self.model.params = shard_params(mesh, self.model.params, fsdp=fsdp)
         self.mesh = mesh
+        self._batcher = None                 # rebuild against sharded params
         return self
 
     def _run(self, fn, *args, **kwargs):
@@ -227,6 +309,58 @@ class JaxReasoningBackend:
             with self.mesh:
                 return fn(*args, **kwargs)
         return fn(*args, **kwargs)
+
+    def _ensure_batcher(self, needed_context: int):
+        """(Re)build the serving batcher when the context bound grows."""
+        from handwritten_ocr_tpu.engine.serving import (
+            ContinuousBatcher, PagedProgram)
+        block = cfg_mod.SERVE_BLOCK_SIZE
+        context = -(-needed_context // block) * block
+        if self._batcher is None or self._batcher.max_context < context:
+            program = PagedProgram(self.model.params, self.model.config,
+                                   mesh=self.mesh)
+            self._batcher = ContinuousBatcher(
+                program, n_slots=cfg_mod.SERVE_SLOTS, block_size=block,
+                max_context=context, chunk=cfg_mod.SERVE_CHUNK,
+                prefill_bucket=cfg_mod.SERVE_PREFILL_BUCKET,
+                dtype=self.model.params["embed"]["w"].dtype)
+        return self._batcher
+
+    def _stream_printer(self):
+        """on_tokens callback: prints decoded text incrementally."""
+        state = {"ids": [], "printed": ""}
+
+        def emit(new_tokens: list[int], done: bool) -> None:
+            state["ids"].extend(new_tokens)
+            text = self.tokenizer.decode(state["ids"])
+            if not done:
+                text = text.rstrip("�")   # hold incomplete multibyte
+            if text.startswith(state["printed"]):
+                delta = text[len(state["printed"]):]
+            else:                              # decoder backtracked; resync
+                delta = ""
+            if delta:
+                print(delta, end="", flush=True)
+                state["printed"] = text
+            if done:
+                print(flush=True)
+        return emit
+
+    def _generate_paged(self, encoded: list[list[int]],
+                        max_tokens: int) -> list[str]:
+        """All prompts through the continuous batcher; returns texts.
+        Streams to stdout only for single-request calls (interleaved
+        multi-request streams would garble the console)."""
+        from handwritten_ocr_tpu.engine.serving import GenRequest
+        longest = max(len(ids) for ids in encoded)
+        batcher = self._ensure_batcher(longest + max_tokens)
+        stream = self._stream_printer() if self.stream and len(encoded) == 1 \
+            else None
+        requests = [GenRequest(np.asarray(ids, np.int32), max_tokens,
+                               on_tokens=stream)
+                    for ids in encoded]
+        token_lists = batcher.run(requests)
+        return [self.tokenizer.decode(tokens) for tokens in token_lists]
 
     @classmethod
     def from_pretrained(cls, model_dir: str | Path, dtype=jnp.bfloat16,
@@ -263,6 +397,8 @@ class JaxReasoningBackend:
                 return constrained
             # No viable constrained output: fall through to free decode
             # (the caller's parse ladder takes over).
+        if self.serving == "paged":
+            return self._generate_paged([ids[0].tolist()], max_tokens)[0]
         gen = self._run(self.model.generate, ids, max_tokens)
         length = int(np.asarray(gen.lengths)[0])
         return self.tokenizer.decode(np.asarray(gen.tokens)[0, :length].tolist())
@@ -278,6 +414,11 @@ class JaxReasoningBackend:
                                    enable_thinking=self.enable_thinking)
                    for r in requests]
         encoded = [self.tokenizer.encode(p) for p in prompts]
+        if self.serving == "paged":
+            # Continuous batching: mixed-length prompts skip the pad-to-
+            # longest prefill, and a call that hits EOS frees its slot for
+            # the queue instead of idling until the longest call finishes.
+            return self._generate_paged(encoded, max_tokens)
         longest = max(len(ids) for ids in encoded)
         pad_id = self.model.config.pad_token_id % self.model.config.vocab_size
         batch_ids = np.full((len(encoded), longest), pad_id, dtype=np.int32)
@@ -316,4 +457,5 @@ def build_jax_pipeline(quiet: bool = False) -> OCRPipeline:
     if not quiet:
         print(f"  [engine] Loading reasoning model from {llm_dir}...")
     llm = JaxReasoningBackend.from_pretrained(llm_dir)
+    llm.stream = not quiet       # live token streaming (ref tools.py:187-208)
     return OCRPipeline(ocr, llm, preprocessor=TPUPreprocessor(), quiet=quiet)

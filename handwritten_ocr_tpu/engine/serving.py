@@ -1,0 +1,322 @@
+"""Continuous batching over the paged KV cache.
+
+The serving loop the reference can't express (it generates one call at a
+time, tools.py:764-765) and round 1's lockstep decode only approximated:
+a fixed set of S decode **slots** steps together in jitted chunks; at every
+chunk boundary the host retires sequences that hit EOS or their budget
+(freeing their cache blocks immediately) and admits queued requests into
+the freed slots. A finished page stops paying for the longest page's
+budget — the chunk boundary is the preemption point.
+
+Design for TPU:
+- All shapes static: one compiled prefill per prompt-length bucket, one
+  compiled decode chunk for the server's lifetime.
+- The whole chunk (default 16 steps) is ONE dispatch (``lax.while_loop``)
+  — amortizes the 3-5 ms tunnel latency and gives the host a natural
+  point to stream tokens (``on_tokens`` callbacks power live stdout
+  streaming, ref tools.py:187-208).
+- The block pool threads through jit with buffer donation, so the cache
+  never copies.
+
+Works for both decoder stacks (they share the init_text layout): Qwen3
+reasoning chat (1D RoPE) and the Qwen2.5-VL text decoder (M-RoPE decode
+steps at ``lengths + rope_delta``); the VL vision splice happens in the
+caller-provided prompt embeddings.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from collections import deque
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from handwritten_ocr_tpu.models.paged import PagedKVCache, paged_forward
+from handwritten_ocr_tpu.models.qwen25vl.language import lm_logits
+
+
+@dataclasses.dataclass
+class GenRequest:
+    """One generation job for the batcher."""
+
+    prompt_ids: np.ndarray                      # [T] int32
+    max_new: int
+    on_tokens: Callable[[list[int], bool], None] | None = None
+    # Optional M-RoPE inputs (VL path): full [3, T] prompt positions and
+    # the decode-step rope delta; None = 1D RoPE from arange.
+    positions: np.ndarray | None = None
+    rope_delta: int = 0
+    # Optional pre-spliced prompt embeddings [T, D] (VL vision splice);
+    # None = embedding-table lookup of prompt_ids.
+    embeds: jax.Array | None = None
+    # Filled by the batcher:
+    tokens: list[int] = dataclasses.field(default_factory=list)
+    done: bool = False
+
+    def _emit(self, new_tokens: list[int], done: bool) -> None:
+        self.tokens.extend(new_tokens)
+        self.done = done
+        if self.on_tokens is not None and (new_tokens or done):
+            self.on_tokens(new_tokens, done)
+
+
+class PagedProgram:
+    """Jitted paged prefill + chunked decode over one decoder stack.
+
+    ``params`` is an init_text-layout tree (embed/layers/final_norm/
+    lm_head) — the Qwen3 tree or a VL model's ``params["text"]``.
+    """
+
+    def __init__(self, params: dict, cfg, *, eos_token_id: int | None = None,
+                 mesh=None):
+        self.params = params
+        self.cfg = cfg
+        self.eos_token_id = (eos_token_id if eos_token_id is not None
+                             else cfg.eos_token_id)
+        self.mrope = getattr(cfg, "mrope_section", None) is not None
+        self.mesh = mesh
+
+    # ── jitted stages ─────────────────────────────────────────────
+    @functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(2,))
+    def _prefill(self, params, cache, embeds, positions, true_len, slot_ids):
+        start = jnp.zeros_like(true_len)
+        hidden, cache = paged_forward(params, self.cfg, embeds, positions,
+                                      cache, slot_ids, start, true_len)
+        idx = jnp.broadcast_to((true_len - 1)[:, None, None],
+                               (hidden.shape[0], 1, hidden.shape[-1]))
+        last_hidden = jnp.take_along_axis(hidden, idx, axis=1)
+        logits = lm_logits(params, self.cfg, last_hidden)
+        return jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32), cache
+
+    @functools.partial(jax.jit, static_argnums=(0, 7), donate_argnums=(2,))
+    def _decode_chunk(self, params, cache, last, done0, remaining,
+                      rope_delta, chunk):
+        cfg = self.cfg
+        eos = self.eos_token_id
+        n_slots = last.shape[0]
+        slot_ids = jnp.arange(n_slots)
+        tokens0 = jnp.full((n_slots, chunk), eos, jnp.int32)
+
+        def cond(state):
+            i, _, _, _, done = state
+            return (i < chunk) & ~jnp.all(done)
+
+        def body(state):
+            i, tokens, cache, last, done = state
+            embeds = params["embed"]["w"][last][:, None, :]
+            start = cache.lengths
+            pos = (start + rope_delta)[:, None]                 # [S, 1]
+            if self.mrope:
+                pos = jnp.broadcast_to(pos[None], (3, n_slots, 1))
+            hidden, cache = paged_forward(params, cfg, embeds, pos, cache,
+                                          slot_ids, start, start + 1)
+            logits = lm_logits(params, cfg, hidden)
+            nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+            nxt = jnp.where(done, eos, nxt)
+            tokens = tokens.at[:, i].set(nxt)
+            done = done | (nxt == eos) | (i + 1 >= remaining)
+            return i + 1, tokens, cache, nxt, done
+
+        _, tokens, cache, last, done = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), tokens0, cache, last, done0))
+        return tokens, cache, last, done
+
+    # ── mesh-aware wrappers ───────────────────────────────────────
+    def prefill(self, cache, embeds, positions, true_len, slot_ids):
+        args = (self.params, cache, embeds, positions, true_len, slot_ids)
+        if self.mesh is not None:
+            with self.mesh:
+                return self._prefill(*args)
+        return self._prefill(*args)
+
+    def decode_chunk(self, cache, last, done, remaining, rope_delta, chunk):
+        args = (self.params, cache, last, done, remaining, rope_delta, chunk)
+        if self.mesh is not None:
+            with self.mesh:
+                return self._decode_chunk(*args)
+        return self._decode_chunk(*args)
+
+    def embed_prompt(self, ids: jax.Array) -> jax.Array:
+        """Default prompt embedding (no vision splice): table lookup."""
+        return self.params["embed"]["w"][ids]
+
+
+class ContinuousBatcher:
+    """Slot/block scheduler driving a :class:`PagedProgram`.
+
+    Parameters
+    ----------
+    n_slots : decode batch width (static).
+    block_size : KV block granularity (tokens).
+    n_blocks : pool size; block 0 is the reserved trash sink.
+    max_context : per-sequence context bound (table width).
+    chunk : decode steps per dispatch (admission/retirement granularity).
+    prefill_bucket : prompt lengths pad up to a multiple of this (bounds
+        the number of compiled prefill programs).
+    """
+
+    def __init__(self, program: PagedProgram, *, n_slots: int = 8,
+                 block_size: int = 64, n_blocks: int | None = None,
+                 max_context: int = 4096, chunk: int = 16,
+                 prefill_bucket: int = 128, dtype=jnp.bfloat16):
+        cfg = program.cfg
+        self.program = program
+        self.n_slots = n_slots
+        self.block_size = block_size
+        self.max_context = max_context
+        self.max_blocks = -(-max_context // block_size)
+        if n_blocks is None:
+            n_blocks = 1 + n_slots * self.max_blocks
+        self.n_blocks = n_blocks
+        self.chunk = chunk
+        self.prefill_bucket = prefill_bucket
+        self.cache = PagedKVCache.zeros(
+            cfg.num_hidden_layers, n_blocks, block_size, n_slots,
+            self.max_blocks, cfg.num_key_value_heads, cfg.head_dim,
+            dtype=dtype)
+        self._free_blocks: list[int] = list(range(n_blocks - 1, 0, -1))
+        self._tables = np.zeros((n_slots, self.max_blocks), np.int32)
+        self._free_slots: list[int] = list(range(n_slots - 1, -1, -1))
+        self._slot_req: dict[int, GenRequest] = {}
+        self._slot_blocks: dict[int, list[int]] = {}
+        self._last = np.full((n_slots,), program.eos_token_id, np.int32)
+        self._rope_delta = np.zeros((n_slots,), np.int32)
+
+    # ── admission ─────────────────────────────────────────────────
+    def _blocks_needed(self, request: GenRequest) -> int:
+        total = min(len(request.prompt_ids) + request.max_new,
+                    self.max_context)
+        return -(-total // self.block_size)
+
+    def _try_admit(self, queue: deque) -> list[tuple[int, GenRequest]]:
+        admitted = []
+        while queue and self._free_slots:
+            request = queue[0]
+            need = self._blocks_needed(request)
+            if need > len(self._free_blocks):
+                break                      # head-of-line blocks; wait for frees
+            queue.popleft()
+            slot = self._free_slots.pop()
+            blocks = [self._free_blocks.pop() for _ in range(need)]
+            self._tables[slot] = 0
+            self._tables[slot, :need] = blocks
+            self._slot_req[slot] = request
+            self._slot_blocks[slot] = blocks
+            self._rope_delta[slot] = request.rope_delta
+            admitted.append((slot, request))
+        return admitted
+
+    def _retire(self, slot: int) -> None:
+        self._free_blocks.extend(self._slot_blocks.pop(slot))
+        self._slot_req.pop(slot)
+        self._free_slots.append(slot)
+        self._tables[slot] = 0
+
+    def _prefill_admitted(self, admitted: list[tuple[int, GenRequest]]) -> None:
+        """Prefill admitted requests grouped by padded prompt length."""
+        by_bucket: dict[int, list[tuple[int, GenRequest]]] = {}
+        for slot, request in admitted:
+            bucket = max(self.prefill_bucket,
+                         -(-len(request.prompt_ids) // self.prefill_bucket)
+                         * self.prefill_bucket)
+            by_bucket.setdefault(bucket, []).append((slot, request))
+
+        self.cache = self.cache._replace(
+            block_tables=jnp.asarray(self._tables))
+        for bucket, group in by_bucket.items():
+            slots = np.array([s for s, _ in group], np.int32)
+            true_len = np.array([len(r.prompt_ids) for _, r in group],
+                                np.int32)
+            embeds, positions = self._build_prompt_inputs(group, bucket)
+            first, self.cache = self.program.prefill(
+                self.cache, embeds, positions, jnp.asarray(true_len),
+                jnp.asarray(slots))
+            first = np.asarray(first)
+            for row, (slot, request) in enumerate(group):
+                token = int(first[row])
+                self._last[slot] = token
+                eos = token == self.program.eos_token_id
+                finished = eos or request.max_new <= 1
+                request._emit([] if eos else [token], finished)
+                if finished:
+                    self._retire(slot)
+
+    def _build_prompt_inputs(self, group, bucket):
+        batch = len(group)
+        ids = np.zeros((batch, bucket), np.int32)
+        for row, (_, request) in enumerate(group):
+            ids[row, :len(request.prompt_ids)] = request.prompt_ids
+        if self.program.mrope:
+            positions = np.zeros((3, batch, bucket), np.int64)
+            for row, (_, request) in enumerate(group):
+                assert request.positions is not None, "VL prompts need positions"
+                t = request.positions.shape[1]
+                positions[:, row, :t] = request.positions
+                # pad tail positions continue past the real ones (masked)
+                positions[:, row, t:] = (request.positions.max()
+                                         + 1 + np.arange(bucket - t))
+        else:
+            positions = np.broadcast_to(np.arange(bucket)[None],
+                                        (batch, bucket)).copy()
+        if any(request.embeds is not None for _, request in group):
+            proto = next(r.embeds for _, r in group if r.embeds is not None)
+            embeds = jnp.zeros((batch, bucket, proto.shape[-1]), proto.dtype)
+            for row, (_, request) in enumerate(group):
+                assert request.embeds is not None
+                embeds = embeds.at[row, :request.embeds.shape[0]].set(
+                    request.embeds.astype(embeds.dtype))
+        else:
+            embeds = self.program.embed_prompt(jnp.asarray(ids))
+        return embeds, jnp.asarray(positions)
+
+    # ── the serving loop ──────────────────────────────────────────
+    def run(self, requests: Sequence[GenRequest]) -> list[list[int]]:
+        """Drive all requests to completion; returns token lists in order
+        (EOS excluded). Requests stream through ``on_tokens`` as chunks
+        complete."""
+        eos = self.program.eos_token_id
+        queue = deque(requests)
+        while queue or self._slot_req:
+            admitted = self._try_admit(queue)
+            if admitted:
+                self._prefill_admitted(admitted)
+            if not self._slot_req:
+                if queue:        # nothing admissible yet nothing running
+                    raise RuntimeError(
+                        "request needs more KV blocks than the pool has: "
+                        f"{self._blocks_needed(queue[0])} > "
+                        f"{self.n_blocks - 1}")
+                break
+            done0 = np.ones((self.n_slots,), bool)
+            remaining = np.zeros((self.n_slots,), np.int32)
+            for slot, request in self._slot_req.items():
+                done0[slot] = False
+                remaining[slot] = request.max_new - len(request.tokens)
+            tokens, self.cache, last, _ = self.program.decode_chunk(
+                self.cache, jnp.asarray(self._last), jnp.asarray(done0),
+                jnp.asarray(remaining), jnp.asarray(self._rope_delta),
+                self.chunk)
+            tokens = np.asarray(tokens)
+            self._last = np.array(last)      # writable copy (admission edits)
+            for slot in list(self._slot_req):
+                request = self._slot_req[slot]
+                fresh: list[int] = []
+                finished = False
+                budget = request.max_new - len(request.tokens)
+                for token in tokens[slot]:
+                    token = int(token)
+                    if token == eos:
+                        finished = True
+                        break
+                    fresh.append(token)
+                    if len(fresh) >= budget:
+                        finished = True
+                        break
+                request._emit(fresh, finished)
+                if finished:
+                    self._retire(slot)
+        return [request.tokens for request in requests]

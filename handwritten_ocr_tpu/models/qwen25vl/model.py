@@ -88,8 +88,8 @@ class VLModel:
         self.config = config
 
     # ── jitted stages ─────────────────────────────────────────────
-    @functools.partial(jax.jit, static_argnums=(0, 4, 5))
-    def _prefill(self, params, input_ids, patches, grid, max_new, position_ids):
+    def _spliced_embeds(self, params, input_ids, patches, grid):
+        """Prompt embeddings with vision features spliced at image tokens."""
         cfg = self.config
         embeds = params["text"]["embed"]["w"][input_ids]
         if patches is not None:
@@ -102,7 +102,17 @@ class VLModel:
             slot = jnp.clip(slot, 0, image_embeds.shape[1] - 1)
             gathered = jnp.take_along_axis(image_embeds, slot[..., None], axis=1)
             embeds = jnp.where(image_mask, gathered, embeds)
+        return embeds
 
+    @functools.partial(jax.jit, static_argnums=(0, 4))
+    def prompt_embeds(self, params, input_ids, patches, grid):
+        """Jitted vision encode + splice (the paged-serving prefill input)."""
+        return self._spliced_embeds(params, input_ids, patches, grid)
+
+    @functools.partial(jax.jit, static_argnums=(0, 4, 5))
+    def _prefill(self, params, input_ids, patches, grid, max_new, position_ids):
+        cfg = self.config
+        embeds = self._spliced_embeds(params, input_ids, patches, grid)
         batch, prompt_len = input_ids.shape
         cache = KVCache.zeros(
             cfg.text.num_hidden_layers, batch, prompt_len + max_new,
