@@ -380,17 +380,41 @@ class JaxReasoningBackend:
             params = quantize_tree(params)
         return cls(Qwen3Model(params, config), HFTokenizer(model_dir))
 
+    def _chat_guided(self, encoded: list[list[int]],
+                     json_schema: dict, max_tokens: int) -> list[str | None]:
+        """Schema-constrained decode for a batch of prompts: the host
+        forces the JSON scaffolding and type-constrains every value, so
+        each non-None result ALWAYS validates against ``json_schema`` —
+        the on-device, batched counterpart of Ollama's server-side
+        ``format=json_schema`` (ref tools.py:270-276). None = the model
+        emitted EOS before a required field (callers' ladder recovers)."""
+        import json as _json
+        from handwritten_ocr_tpu.engine.serving import GenRequest
+        longest = max(len(ids) for ids in encoded)
+        batcher = self._ensure_batcher(longest + max_tokens)
+        requests = [GenRequest(np.asarray(ids, np.int32), max_tokens)
+                    for ids in encoded]
+        outcomes = batcher.run_guided(requests, json_schema, self.tokenizer)
+        return [(_json.dumps(obj) if obj is not None and complete else None)
+                for obj, complete in outcomes]
+
     def chat(self, system_prompt: str, user_message: str, *,
              temperature: float, max_tokens: int,
              json_schema: dict | None = None) -> str:
-        """Greedy chat decode; ``json_schema`` requests grammar-constrained
-        JSON output (host-guided viable-prefix decode — the on-device
-        counterpart of Ollama's server-side ``format=``). ``temperature``
-        is accepted for protocol parity (reference uses 0.1 ≈ greedy)."""
+        """Greedy chat decode; ``json_schema`` requests schema-constrained
+        JSON output (template-forced scaffolding + type-constrained value
+        spans). ``temperature`` is accepted for protocol parity (reference
+        uses 0.1 ≈ greedy)."""
         prompt = llm_chat_prompt(system_prompt, user_message,
                                  enable_thinking=self.enable_thinking)
         ids = np.array([self.tokenizer.encode(prompt)], dtype=np.int32)
-        if json_schema is not None:
+        if json_schema is not None and self.serving == "paged":
+            [constrained] = self._chat_guided([ids[0].tolist()], json_schema,
+                                              max_tokens)
+            if constrained is not None:
+                return constrained
+            # Model bailed before a required field: free decode + ladder.
+        elif json_schema is not None:
             constrained = self._run(self.model.generate_json, ids, max_tokens,
                                     self.tokenizer)
             if constrained:
@@ -404,16 +428,30 @@ class JaxReasoningBackend:
         return self.tokenizer.decode(np.asarray(gen.tokens)[0, :length].tolist())
 
     def chat_batch(self, requests, *, temperature: float,
-                   max_tokens: int) -> list[str]:
+                   max_tokens: int,
+                   json_schema: dict | None = None) -> list[str]:
         """Many chat turns as ONE batched decode (left-padded prompts).
 
         Powers the lockstep multi-page driver: all active pages' critic
         (or editor/arbitrator) calls share a single prefill + decode.
+        With ``json_schema``, the batch runs schema-constrained (tier-1
+        structured output, same guarantee as single calls); rows where the
+        model bails before a required field fall back to free decode.
         """
         prompts = [llm_chat_prompt(r.system, r.user,
                                    enable_thinking=self.enable_thinking)
                    for r in requests]
         encoded = [self.tokenizer.encode(p) for p in prompts]
+        if json_schema is not None and self.serving == "paged":
+            constrained = self._chat_guided(encoded, json_schema, max_tokens)
+            missing = [i for i, text in enumerate(constrained)
+                       if text is None]
+            if missing:
+                free = self._generate_paged([encoded[i] for i in missing],
+                                            max_tokens)
+                for index, text in zip(missing, free):
+                    constrained[index] = text
+            return constrained  # type: ignore[return-value]
         if self.serving == "paged":
             # Continuous batching: mixed-length prompts skip the pad-to-
             # longest prefill, and a call that hits EOS frees its slot for

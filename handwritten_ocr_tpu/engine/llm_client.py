@@ -21,6 +21,14 @@ _JSON_ONLY_SUFFIX = (
 )
 
 
+def _accepts_json_schema(fn) -> bool:
+    import inspect
+    try:
+        return "json_schema" in inspect.signature(fn).parameters
+    except (TypeError, ValueError):
+        return False
+
+
 @runtime_checkable
 class ReasoningBackend(Protocol):
     """A chat LLM endpoint for the critic/editor/arbitrator agents."""
@@ -106,8 +114,15 @@ def call_llm_json_batch(
         if not quiet:
             print(f"  [llm] Batched reasoning call x{len(requests)}...",
                   flush=True)
+        # Same-agent batches share one schema; pass it so the batch gets
+        # tier-1 constrained output like single calls (backends without
+        # the parameter keep the old free-decode behavior).
+        schema = next((r.schema for r in requests if r.schema), None)
+        kwargs = {}
+        if schema is not None and _accepts_json_schema(backend.chat_batch):
+            kwargs["json_schema"] = schema
         texts = backend.chat_batch(list(requests), temperature=temp,
-                                   max_tokens=n_tokens)
+                                   max_tokens=n_tokens, **kwargs)
     else:
         texts = [backend.chat(r.system, r.user, temperature=temp,
                               max_tokens=n_tokens, json_schema=r.schema)

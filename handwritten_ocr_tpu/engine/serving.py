@@ -125,7 +125,53 @@ class PagedProgram:
             cond, body, (jnp.int32(0), tokens0, cache, last, done0))
         return tokens, cache, last, done
 
+    @functools.partial(jax.jit, static_argnums=(0, 6), donate_argnums=(2,))
+    def _prefill_topk(self, params, cache, embeds, positions, true_len,
+                      k, slot_ids):
+        """Prefill variant returning the next-token top-k (guided decode)."""
+        start = jnp.zeros_like(true_len)
+        hidden, cache = paged_forward(params, self.cfg, embeds, positions,
+                                      cache, slot_ids, start, true_len)
+        idx = jnp.broadcast_to((true_len - 1)[:, None, None],
+                               (hidden.shape[0], 1, hidden.shape[-1]))
+        last_hidden = jnp.take_along_axis(hidden, idx, axis=1)
+        logits = lm_logits(params, self.cfg, last_hidden)[:, -1]
+        values, ids = jax.lax.top_k(logits, k)
+        return ids, values, cache
+
+    @functools.partial(jax.jit, static_argnums=(0, 5), donate_argnums=(2,))
+    def _step_topk(self, params, cache, last, rope_delta, k):
+        """One decode step for ALL slots returning per-slot top-k — the
+        schema-guided decode's device primitive: the host commits one
+        token per slot per step (forced scaffold or constrained choice)."""
+        cfg = self.cfg
+        n_slots = last.shape[0]
+        embeds = params["embed"]["w"][last][:, None, :]
+        start = cache.lengths
+        pos = (start + rope_delta)[:, None]
+        if self.mrope:
+            pos = jnp.broadcast_to(pos[None], (3, n_slots, 1))
+        hidden, cache = paged_forward(params, cfg, embeds, pos, cache,
+                                      jnp.arange(n_slots), start, start + 1)
+        logits = lm_logits(params, cfg, hidden)[:, -1]
+        values, ids = jax.lax.top_k(logits, k)
+        return ids, values, cache
+
     # ── mesh-aware wrappers ───────────────────────────────────────
+    def prefill_topk(self, cache, embeds, positions, true_len, k, slot_ids):
+        args = (self.params, cache, embeds, positions, true_len, k, slot_ids)
+        if self.mesh is not None:
+            with self.mesh:
+                return self._prefill_topk(*args)
+        return self._prefill_topk(*args)
+
+    def step_topk(self, cache, last, rope_delta, k):
+        args = (self.params, cache, last, rope_delta, k)
+        if self.mesh is not None:
+            with self.mesh:
+                return self._step_topk(*args)
+        return self._step_topk(*args)
+
     def prefill(self, cache, embeds, positions, true_len, slot_ids):
         args = (self.params, cache, embeds, positions, true_len, slot_ids)
         if self.mesh is not None:
@@ -272,6 +318,88 @@ class ContinuousBatcher:
         else:
             embeds = self.program.embed_prompt(jnp.asarray(ids))
         return embeds, jnp.asarray(positions)
+
+    # ── schema-guided serving (constrained decoding) ──────────────
+    def run_guided(self, requests: Sequence[GenRequest], schema: dict,
+                   tokenizer, top_k: int = 64) -> list[tuple[dict | None, bool]]:
+        """Schema-constrained generation for every request (one shared
+        schema — agent batches are same-schema by construction).
+
+        Each decode step is ONE batched ``step_topk`` dispatch; the host
+        commits one token per slot from the top-k under the schema state
+        machine (utils/schema_decode.SchemaSession): scaffold tokens are
+        forced, value tokens constrained by type. Returns per request
+        ``(assembled object | None, complete)`` — complete=False only when
+        EOS/budget died before a required field (callers fall back to the
+        parse ladder, matching the reference's failure semantics).
+        """
+        from handwritten_ocr_tpu.utils.schema_decode import (
+            SchemaSession, compile_schema)
+        spec = compile_schema(schema)
+        eos = self.program.eos_token_id
+        queue = deque(requests)
+        sessions: dict[int, SchemaSession] = {}
+        results: dict[int, tuple[dict | None, bool]] = {}
+        topk = np.zeros((self.n_slots, top_k), np.int64)
+
+        def admit() -> None:
+            admitted = self._try_admit(queue)
+            if not admitted:
+                return
+            self.cache = self.cache._replace(
+                block_tables=jnp.asarray(self._tables))
+            by_bucket: dict[int, list[tuple[int, GenRequest]]] = {}
+            for slot, request in admitted:
+                bucket = max(self.prefill_bucket,
+                             -(-len(request.prompt_ids) // self.prefill_bucket)
+                             * self.prefill_bucket)
+                by_bucket.setdefault(bucket, []).append((slot, request))
+            for bucket, group in by_bucket.items():
+                slots = np.array([s for s, _ in group], np.int32)
+                true_len = np.array([len(r.prompt_ids) for _, r in group],
+                                    np.int32)
+                embeds, positions = self._build_prompt_inputs(group, bucket)
+                ids, _, self.cache = self.program.prefill_topk(
+                    self.cache, embeds, positions, jnp.asarray(true_len),
+                    top_k, jnp.asarray(slots))
+                ids = np.asarray(ids)
+                for row, (slot, request) in enumerate(group):
+                    topk[slot] = ids[row]
+                    sessions[slot] = SchemaSession(
+                        spec, tokenizer, eos, request.max_new)
+
+        while queue or sessions:
+            admit()
+            if not sessions:
+                if queue:
+                    raise RuntimeError(
+                        "request needs more KV blocks than the pool has")
+                break
+            freed = False
+            for slot in list(sessions):
+                session = sessions[slot]
+                # None ⇒ the session finished (or exhausted and drained).
+                token = session.next_token(topk[slot])
+                if token is None:
+                    request = self._slot_req[slot]
+                    results[id(request)] = session.result()
+                    sessions.pop(slot)
+                    self._retire(slot)
+                    self._last[slot] = eos
+                    freed = True
+                else:
+                    self._last[slot] = token
+            if freed and queue:
+                admit()
+            if not sessions:
+                continue
+            ids, _, self.cache = self.program.step_topk(
+                self.cache, jnp.asarray(self._last),
+                jnp.asarray(self._rope_delta), top_k)
+            ids = np.asarray(ids)
+            for slot in sessions:
+                topk[slot] = ids[slot]
+        return [results[id(request)] for request in requests]
 
     # ── the serving loop ──────────────────────────────────────────
     def run(self, requests: Sequence[GenRequest]) -> list[list[int]]:

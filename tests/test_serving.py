@@ -162,6 +162,67 @@ def test_ocr_backend_paged_matches_dense(tmp_path):
     assert paged.read_batch(imgs, "Extract.", 7) == expected
 
 
+def test_schema_constrained_chat_always_validates(tiny):
+    """Property: schema-constrained chat output ALWAYS validates against
+    the pydantic contract, even from a random-weight model — the scaffold
+    is forced and every value span is type-constrained (ref tools.py:270-
+    276 semantics, strictly stronger)."""
+    import json
+    from handwritten_ocr_tpu.agents.schemas import (
+        ArbitratorResult, CriticResult, EditorResult)
+    from handwritten_ocr_tpu.engine.jax_engines import JaxReasoningBackend
+    from handwritten_ocr_tpu.models.processor import ByteTokenizer
+    from handwritten_ocr_tpu.models.qwen3 import Qwen3Model
+
+    params, cfg = tiny
+    cfg_big = Qwen3Config(**{**{f.name: getattr(cfg, f.name)
+                                for f in cfg.__dataclass_fields__.values()},
+                             "vocab_size": 152000})
+    params = init_qwen3(jax.random.PRNGKey(13), cfg_big, dtype=jnp.float32)
+    backend = JaxReasoningBackend(Qwen3Model(params, cfg_big),
+                                  ByteTokenizer())
+
+    for model_cls in (CriticResult, EditorResult, ArbitratorResult):
+        text = backend.chat("critic sys", "review this",
+                            temperature=0.1, max_tokens=96,
+                            json_schema=model_cls.model_json_schema())
+        model_cls.model_validate(json.loads(text))   # must not raise
+
+
+def test_schema_constrained_chat_batch(tiny):
+    """Batched constrained decode: every row validates; rows match the
+    single-call constrained output (same greedy choices)."""
+    import json
+    from handwritten_ocr_tpu.agents.schemas import CriticResult
+    from handwritten_ocr_tpu.engine.jax_engines import JaxReasoningBackend
+    from handwritten_ocr_tpu.models.processor import ByteTokenizer
+    from handwritten_ocr_tpu.models.qwen3 import Qwen3Model
+
+    params, cfg = tiny
+    cfg_big = Qwen3Config(**{**{f.name: getattr(cfg, f.name)
+                                for f in cfg.__dataclass_fields__.values()},
+                             "vocab_size": 152000})
+    params = init_qwen3(jax.random.PRNGKey(13), cfg_big, dtype=jnp.float32)
+    schema = CriticResult.model_json_schema()
+
+    class Req:
+        schema = None
+
+        def __init__(self, system, user):
+            self.system, self.user = system, user
+
+    reqs = [Req("sys", "page one text"), Req("sys", "a different page")]
+    backend = JaxReasoningBackend(Qwen3Model(params, cfg_big),
+                                  ByteTokenizer())
+    batch = backend.chat_batch(reqs, temperature=0.1, max_tokens=96,
+                               json_schema=schema)
+    for text in batch:
+        CriticResult.model_validate(json.loads(text))
+    solo = [backend.chat(r.system, r.user, temperature=0.1, max_tokens=96,
+                         json_schema=schema) for r in reqs]
+    assert batch == solo
+
+
 def test_reasoning_backend_paged_matches_dense(tiny):
     from handwritten_ocr_tpu.engine.jax_engines import JaxReasoningBackend
     from handwritten_ocr_tpu.models.processor import ByteTokenizer
