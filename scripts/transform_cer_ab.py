@@ -1,0 +1,196 @@
+#!/usr/bin/env python3
+"""CER-equivalence A/B for the two approximated transforms.
+
+SURVEY §7 hard part 2: `denoise` (classic NL-means vs cv2's LUT-optimized
+fastNlMeansDenoisingColored, ref tools.py:576-589) and `remove_lines`
+(diffusion inpainting vs cv2 TELEA, ref tools.py:592-619) are documented
+approximations. This experiment shows the approximation does not move the
+*transcription*: the same pages are preprocessed through (a) our JAX chain
+and (b) the reference's exact cv2 chain, both variants are read by the
+same deterministic VLM (real Qwen2.5-VL architecture, fixed random
+weights — MORE sensitive to pixel perturbations than a trained model, so
+this is a conservative bound), and the two transcriptions are scored
+against each other with the real CER oracle.
+
+Output: JSON with per-chain mean pixel delta, token agreement, and CER
+between the A/B transcriptions (target ≈ 0). Run on any host (CPU ok):
+
+    JAX_PLATFORMS=cpu python scripts/transform_cer_ab.py
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+import numpy as np
+
+
+def handwriting_page(seed: int, height: int = 252, width: int = 336):
+    """A synthetic 'notebook page': ruled lines, noise, glyph-like text."""
+    from PIL import Image, ImageDraw
+    rng = np.random.default_rng(seed)
+    img = Image.new("RGB", (width, height), (246, 244, 240))
+    draw = ImageDraw.Draw(img)
+    for y in range(28, height, 28):                      # ruled lines
+        draw.line([(0, y), (width, y)], fill=(150, 170, 205), width=1)
+    words = ["minutes", "meeting", "notes", "budget", "review", "plan",
+             "agenda", "action", "items", "follow", "up", "next"]
+    y = 20
+    while y < height - 20:
+        x = 12
+        while x < width - 90:
+            word = words[int(rng.integers(0, len(words)))]
+            draw.text((x, y), word, fill=(40, 35, 45))
+            x += 8 * len(word) + int(rng.integers(6, 18))
+        y += 28
+    arr = np.asarray(img, dtype=np.float32)
+    arr += rng.normal(0, 6, arr.shape)                   # sensor noise
+    return np.clip(arr, 0, 255).astype(np.uint8)
+
+
+def cv2_reference_chain(image: np.ndarray, chain: list[str]) -> np.ndarray:
+    """The reference's exact cv2 transforms (tools.py:496-630 parameters)."""
+    import cv2
+    out = image
+    for step in chain:
+        if step == "deskew":                             # tools.py:549-573
+            gray = cv2.cvtColor(out, cv2.COLOR_RGB2GRAY)
+            coords = cv2.findNonZero(255 - cv2.threshold(
+                gray, 128, 255, cv2.THRESH_BINARY)[1])
+            if coords is None or len(coords) <= 100:
+                continue
+            angle = cv2.minAreaRect(coords)[-1]
+            if angle < -45:
+                angle = 90 + angle
+            elif angle > 45:
+                angle = angle - 90
+            h, w = out.shape[:2]
+            matrix = cv2.getRotationMatrix2D((w / 2, h / 2), angle, 1.0)
+            out = cv2.warpAffine(out, matrix, (w, h), flags=cv2.INTER_CUBIC,
+                                 borderMode=cv2.BORDER_REPLICATE)
+        elif step == "denoise":                          # tools.py:576-589
+            out = cv2.fastNlMeansDenoisingColored(out, None, 10, 10, 7, 21)
+        elif step == "remove_lines":                     # tools.py:592-619
+            gray = cv2.cvtColor(out, cv2.COLOR_RGB2GRAY)
+            thresh = cv2.adaptiveThreshold(
+                ~gray, 255, cv2.ADAPTIVE_THRESH_MEAN_C,
+                cv2.THRESH_BINARY, 15, -2)
+            kernel = cv2.getStructuringElement(
+                cv2.MORPH_RECT, (out.shape[1] // 4, 1))
+            lines = cv2.morphologyEx(thresh, cv2.MORPH_OPEN, kernel)
+            lines = cv2.dilate(lines, cv2.getStructuringElement(
+                cv2.MORPH_RECT, (1, 3)))
+            out = cv2.inpaint(out, lines, 3, cv2.INPAINT_TELEA)
+        elif step == "high_contrast":                    # tools.py:503-516
+            lab = cv2.cvtColor(out, cv2.COLOR_RGB2LAB)
+            clahe = cv2.createCLAHE(clipLimit=3.0, tileGridSize=(8, 8))
+            lab[:, :, 0] = clahe.apply(lab[:, :, 0])
+            out = cv2.cvtColor(lab, cv2.COLOR_LAB2RGB)
+        else:
+            raise ValueError(step)
+    return out
+
+
+def read_tokens(model, image_u8: np.ndarray, max_new: int = 48) -> list[int]:
+    """Deterministic greedy VLM read of one image array."""
+    import jax.numpy as jnp
+    from handwritten_ocr_tpu.models.processor import pack_image
+    packed = pack_image(image_u8, min_pixels=28 * 28,
+                        max_pixels=224 * 224)
+    grid = packed.grid
+    n_llm = grid[0] * grid[1] * grid[2] // 4
+    cfg = model.config
+    ids = np.array([[151644, 10, 11, 151652] + [cfg.image_token_id] * n_llm
+                    + [151653, 12, 13]], dtype=np.int32)
+    gen = model.generate(ids, jnp.asarray(packed.patches)[None], grid,
+                         max_new)
+    length = int(np.asarray(gen.lengths)[0])
+    return np.asarray(gen.tokens)[0, :length].tolist()
+
+
+def main() -> None:
+    import jax
+
+    if jax.default_backend() != "cpu":
+        pass  # runs anywhere; deterministic per backend
+
+    sys.path.insert(0, str(Path(__file__).parent.parent / "tests"))
+    import jax.numpy as jnp
+    from test_engines import tiny_vl_model  # real architecture, seeded weights
+
+    from handwritten_ocr_tpu.ops.bank import preprocess_chain
+    from handwritten_ocr_tpu.text.metrics import tier1_metrics
+
+    model = tiny_vl_model()
+    chains = {
+        "denoise": ["denoise", "high_contrast"],
+        "remove_lines": ["remove_lines", "high_contrast"],
+    }
+    report: dict = {}
+
+    # Sensitivity control: the SAME cv2 output perturbed by ±1 gray level
+    # (the smallest possible pixel change) through the same random-weight
+    # reader — calibrates how chaotic the untrained model is, i.e. what
+    # CER "pixel-identical up to rounding" maps to.
+    control_cers, control_agrees = [], []
+    for seed in range(4):
+        page = handwriting_page(seed)
+        base = cv2_reference_chain(page, ["denoise", "high_contrast"])
+        rng = np.random.default_rng(seed)
+        wiggle = np.clip(base.astype(np.int16)
+                         + rng.integers(-1, 2, base.shape), 0, 255
+                         ).astype(np.uint8)
+        tokens_a = read_tokens(model, base)
+        tokens_b = read_tokens(model, wiggle)
+        n = max(len(tokens_a), len(tokens_b), 1)
+        control_agrees.append(
+            sum(a == b for a, b in zip(tokens_a, tokens_b)) / n)
+        from handwritten_ocr_tpu.text.metrics import tier1_metrics as _t1
+        control_cers.append(_t1(" ".join(map(str, tokens_b)),
+                                " ".join(map(str, tokens_a)))["cer"])
+    report["control_plus_minus_1_level"] = {
+        "what": "cv2 output vs itself +-1 gray level, same reader",
+        "token_agreement": round(float(np.mean(control_agrees)), 4),
+        "transcription_cer_ab": round(float(np.mean(control_cers)), 4),
+    }
+    for name, chain in chains.items():
+        cers, agrees, deltas = [], [], []
+        for seed in range(4):
+            import cv2
+            page = handwriting_page(seed)
+            ours = np.asarray(preprocess_chain(jnp.asarray(page), chain))
+            cv2_ref = cv2_reference_chain(page, chain)
+            # Our device chain works in grayscale (OCR-sufficient); compare
+            # pixel deltas in gray space.
+            ours_gray = ours if ours.ndim == 2 else \
+                cv2.cvtColor(ours, cv2.COLOR_RGB2GRAY)
+            ref_gray = cv2_ref if cv2_ref.ndim == 2 else \
+                cv2.cvtColor(cv2_ref, cv2.COLOR_RGB2GRAY)
+            deltas.append(float(np.mean(np.abs(
+                ours_gray.astype(np.int32) - ref_gray.astype(np.int32)))))
+            tokens_a = read_tokens(model, ours)
+            tokens_b = read_tokens(model, cv2_ref)
+            n = max(len(tokens_a), len(tokens_b), 1)
+            agree = sum(a == b for a, b in zip(tokens_a, tokens_b)) / n
+            agrees.append(agree)
+            text_a = " ".join(map(str, tokens_a))
+            text_b = " ".join(map(str, tokens_b))
+            cers.append(tier1_metrics(text_b, text_a)["cer"])
+        report[name] = {
+            "chain": chain,
+            "mean_abs_pixel_delta": round(float(np.mean(deltas)), 3),
+            "token_agreement": round(float(np.mean(agrees)), 4),
+            "transcription_cer_ab": round(float(np.mean(cers)), 4),
+            "pages": len(cers),
+        }
+    print(json.dumps(report, indent=2))
+    out = Path(__file__).parent.parent / "transform_cer_ab.json"
+    out.write_text(json.dumps(report, indent=2))
+
+
+if __name__ == "__main__":
+    main()
