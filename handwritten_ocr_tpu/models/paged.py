@@ -4,7 +4,7 @@ Replaces the reference's one-`generate`-per-call decoding (tools.py:764-765)
 and round 1's contiguous per-batch ``prompt_len + max_new`` preallocation
 with the serving-grade design (BASELINE.json north star: "paged KV-cache"):
 
-- One shared **block pool** ``[L, n_blocks, block_size, H_kv, D]`` holds
+- One shared **block pool** ``[L, H_kv, n_blocks, block_size, D]`` holds
   every live sequence's keys/values. Short requests take few blocks; blocks
   free the moment a sequence finishes, so memory is sized for the workload
   mix, not ``batch x worst_case``.
@@ -14,10 +14,13 @@ with the serving-grade design (BASELINE.json north star: "paged KV-cache"):
 - **Pool block 0 is a reserved trash sink**: free slots' tables are all
   zeros, so their (masked, never-read) writes land somewhere harmless.
 
-TPU-first properties: every shape is static; writes are advanced-index
-scatters, reads are block-table gathers; the decode loop is a single
-``lax.fori_loop`` dispatch per chunk; the pool threads through jit with
-donation so it never copies.
+TPU-first properties: every shape is static; the pool layout is KV-head-
+major so the decode step feeds the TPU paged-attention Pallas kernel
+directly (it reads ONLY each slot's length-bounded pages from HBM — no
+gathered window copy); the per-layer pools thread through the loop as one
+array (scatter-in-place, no per-step re-stacking); the decode loop is a
+single ``lax.fori_loop`` dispatch per chunk; the pool threads through jit
+with donation so it never copies.
 
 Position ids follow models/qwen25vl/language.py: ``[B, T]`` for 1D RoPE
 (Qwen3) or ``[3, B, T]`` for M-RoPE (Qwen2.5-VL); text decode steps carry
@@ -44,14 +47,14 @@ from handwritten_ocr_tpu.models.qwen25vl.language import mrope_cos_sin
 class PagedKVCache(NamedTuple):
     """Block-pool KV state shared by all live sequences."""
 
-    k: jax.Array             # [L, n_blocks, block_size, H_kv, D]
-    v: jax.Array             # [L, n_blocks, block_size, H_kv, D]
+    k: jax.Array             # [L, H_kv, n_blocks, block_size, D]
+    v: jax.Array             # [L, H_kv, n_blocks, block_size, D]
     block_tables: jax.Array  # [S, max_blocks] int32 pool indices (0 = trash)
     lengths: jax.Array       # [S] int32 tokens cached per slot
 
     @property
     def block_size(self) -> int:
-        return self.k.shape[2]
+        return self.k.shape[3]
 
     @property
     def max_context(self) -> int:
@@ -61,7 +64,7 @@ class PagedKVCache(NamedTuple):
     def zeros(cls, num_layers: int, n_blocks: int, block_size: int,
               n_slots: int, max_blocks: int, num_kv_heads: int,
               head_dim: int, dtype=jnp.bfloat16) -> "PagedKVCache":
-        shape = (num_layers, n_blocks, block_size, num_kv_heads, head_dim)
+        shape = (num_layers, num_kv_heads, n_blocks, block_size, head_dim)
         return cls(
             k=jnp.zeros(shape, dtype),
             v=jnp.zeros(shape, dtype),
@@ -70,33 +73,56 @@ class PagedKVCache(NamedTuple):
         )
 
 
-def _write(pool: jax.Array, tables: jax.Array, start: jax.Array,
-           new: jax.Array) -> jax.Array:
-    """Scatter ``new [B, T, H, D]`` into one layer's pool at positions
-    ``start[b] + t`` of each row's block table (``tables [B, max_blocks]``)."""
-    b, t = new.shape[:2]
+def _write(pool: jax.Array, layer_idx: int, tables: jax.Array,
+           start: jax.Array, new: jax.Array) -> jax.Array:
+    """Scatter ``new [B, T, H, D]`` into layer ``layer_idx`` of the full
+    pool ``[L, H, N, BS, D]`` at positions ``start[b] + t`` of each row's
+    block table. Returns the updated full pool (in-place under jit)."""
+    b, t, h, d = new.shape
+    block_size = pool.shape[3]
     pos = start[:, None] + jnp.arange(t)[None, :]                # [B, T]
-    pos = jnp.minimum(pos, tables.shape[1] * pool.shape[1] - 1)
-    blocks = jnp.take_along_axis(tables, pos // pool.shape[1], axis=1)
-    return pool.at[blocks, pos % pool.shape[1]].set(new.astype(pool.dtype))
+    pos = jnp.minimum(pos, tables.shape[1] * block_size - 1)
+    blocks = jnp.take_along_axis(tables, pos // block_size, axis=1)
+    flat = new.reshape(b * t, h, d).astype(pool.dtype)           # [BT, H, D]
+    return pool.at[layer_idx, :, blocks.reshape(-1),
+                   (pos % block_size).reshape(-1)].set(flat)
 
 
-def _gather(pool: jax.Array, tables: jax.Array) -> jax.Array:
-    """Gather one layer's cache for the given rows: [B, max_ctx, H, D]."""
-    g = pool[tables]                                   # [B, MB, BS, H, D]
-    return g.reshape(tables.shape[0], -1, *pool.shape[2:])
+def _gather(pool: jax.Array, layer_idx: int, tables: jax.Array) -> jax.Array:
+    """Materialize one layer's cache window for the given rows (portable
+    fallback path): [B, max_ctx, H, D]."""
+    g = pool[layer_idx][:, tables]                 # [H, B, MB, BS, D]
+    h, b = g.shape[0], g.shape[1]
+    return g.transpose(1, 2, 3, 0, 4).reshape(b, -1, h, g.shape[-1])
+
+
+def _fit_pages_per_block(max_blocks: int, preferred: int | None = None) -> int:
+    """Pages per kernel compute block. In-situ sweep on v5e (7B int8,
+    batch 8, 45-page tables): per-instance overhead dominates early-
+    termination savings, so the LARGEST block wins decisively
+    (pcb 5/9/15 -> 21 ms/step, pcb 45 -> 14.5 ms). Policy: largest
+    divisor of the table width <= 64 (VMEM bound: 64 pages x 64 tok x
+    128 dim x bf16 x k,v x double-buffer ~ 4 MB). HOCR_PAGED_PCB
+    overrides for tuning."""
+    import os
+    env = os.environ.get("HOCR_PAGED_PCB")
+    preferred = int(env) if env else (preferred or 64)
+    for candidate in range(min(preferred, max_blocks), 0, -1):
+        if max_blocks % candidate == 0:
+            return candidate
+    return 1
 
 
 def _paged_self_attention(layer: dict, cfg, x: jax.Array, cos, sin,
-                          layer_idx: int, cache: PagedKVCache,
+                          layer_idx: int, k_pool, v_pool,
                           tables: jax.Array, start: jax.Array):
-    """One attention layer over the paged cache.
+    """One attention layer over the paged pool.
 
     x: [B, T, D] current tokens (prompt for prefill, single step for
     decode); start[b] = tokens already cached for row b. Writes the new
-    k/v into the pool first, then attends over the gathered window with a
-    causal-by-absolute-position mask — one code path for prefill (start=0)
-    and decode (T=1).
+    k/v into the pool first, then attends: the T==1 decode step uses the
+    TPU paged-attention kernel (length-bounded page reads); prefill and
+    CPU fall back to gather + causal-by-absolute-position mask.
     """
     b, t, _ = x.shape
     hd = cfg.head_dim
@@ -108,11 +134,24 @@ def _paged_self_attention(layer: dict, cfg, x: jax.Array, cos, sin,
         k = rms_norm(layer["k_norm"], k, cfg.rms_norm_eps)
     q, k = apply_rope(q, k, cos[:, :, None, :], sin[:, :, None, :])
 
-    new_k = _write(cache.k[layer_idx], tables, start, k)
-    new_v = _write(cache.v[layer_idx], tables, start, v)
+    k_pool = _write(k_pool, layer_idx, tables, start, k)
+    v_pool = _write(v_pool, layer_idx, tables, start, v)
 
-    keys = _gather(new_k, tables)                      # [B, CTX, H, D]
-    values = _gather(new_v, tables)
+    from handwritten_ocr_tpu.ops.dispatch import paged_attention_mode
+    if t == 1 and paged_attention_mode() == "compiled":
+        from jax.experimental.pallas.ops.tpu.paged_attention. \
+            paged_attention_kernel import paged_attention
+        out = paged_attention(
+            (q[:, 0] * hd ** -0.5).astype(k_pool.dtype),
+            k_pool[layer_idx], v_pool[layer_idx],
+            lengths=start + 1, page_indices=tables,
+            pages_per_compute_block=_fit_pages_per_block(tables.shape[1]),
+        )                                          # [B, Hq, D]
+        out = out.astype(x.dtype)[:, None]
+        return linear(layer["o"], out.reshape(b, t, -1)), k_pool, v_pool
+
+    keys = _gather(k_pool, layer_idx, tables)      # [B, CTX, H, D]
+    values = _gather(v_pool, layer_idx, tables)
     ctx = keys.shape[1]
     rows = start[:, None, None] + jnp.arange(t)[None, :, None]   # [B, T, 1]
     cols = jnp.arange(ctx)[None, None, :]                        # [1, 1, CTX]
@@ -120,7 +159,7 @@ def _paged_self_attention(layer: dict, cfg, x: jax.Array, cos, sin,
 
     out = attention(q, keys.astype(q.dtype), values.astype(q.dtype),
                     mask, scale=hd ** -0.5)
-    return linear(layer["o"], out.reshape(b, t, -1)), new_k, new_v
+    return linear(layer["o"], out.reshape(b, t, -1)), k_pool, v_pool
 
 
 def paged_forward(params: dict, cfg, embeds: jax.Array,
@@ -136,26 +175,23 @@ def paged_forward(params: dict, cfg, embeds: jax.Array,
     overwrites position-by-position before ever attending to them), or
     ``start + 1`` for decode steps.
     """
-    tables = cache.block_tables[slot_ids]              # [B, max_blocks]
+    tables = cache.block_tables[slot_ids]          # [B, max_blocks]
     cos, sin = mrope_cos_sin(cfg, position_ids)
     x = embeds
-    new_ks, new_vs = [], []
-    # Thread per-layer pools so each layer reads its own updated blocks.
+    k_pool, v_pool = cache.k, cache.v
     for idx, layer in enumerate(params["layers"]):
-        attn_out, nk, nv = _paged_self_attention(
+        attn_out, k_pool, v_pool = _paged_self_attention(
             layer["attn"], cfg, rms_norm(layer["ln1"], x, cfg.rms_norm_eps),
-            cos, sin, idx, cache, tables, start)
+            cos, sin, idx, k_pool, v_pool, tables, start)
         x = x + attn_out
         x = x + swiglu_mlp(layer["mlp"],
                            rms_norm(layer["ln2"], x, cfg.rms_norm_eps))
-        new_ks.append(nk)
-        new_vs.append(nv)
 
     x = rms_norm(params["final_norm"], x, cfg.rms_norm_eps)
 
     new_lengths = cache.lengths.at[slot_ids].set(
         jnp.minimum(new_len, cache.max_context))
-    new_cache = PagedKVCache(k=jnp.stack(new_ks), v=jnp.stack(new_vs),
+    new_cache = PagedKVCache(k=k_pool, v=v_pool,
                              block_tables=cache.block_tables,
                              lengths=new_lengths)
     return x, new_cache

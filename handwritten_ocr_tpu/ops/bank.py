@@ -62,7 +62,12 @@ def apply_deskew(image: jnp.ndarray) -> jnp.ndarray:
 
 
 def apply_denoise(image: jnp.ndarray) -> jnp.ndarray:
-    """Non-local means, h=10, template 7, search 21 (tools.py:576-589)."""
+    """Non-local means, h=10, template 7, search 21 (tools.py:576-589):
+    RGB goes through the CIELAB L/ab split like fastNlMeansDenoisingColored;
+    grayscale uses the single-plane variant like fastNlMeansDenoising."""
+    if image.ndim == 3:
+        from handwritten_ocr_tpu.ops.denoise import nl_means_colored
+        return nl_means_colored(image)
     return nl_means(image)
 
 

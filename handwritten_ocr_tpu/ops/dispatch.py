@@ -20,8 +20,29 @@ def flash_mode() -> str:
 
 
 def int8_kernel_mode() -> str:
-    """Dispatch mode for the Pallas int8 weight matmul (decode path)."""
-    return _mode("HOCR_TPU_INT8")
+    """Dispatch mode for the Pallas int8 weight matmul.
+
+    Default OFF since round 2: inside the paged serving while_loop, XLA
+    reads the int8 buffer and widens inline without materializing a bf16
+    copy (measured: whole 7B step 14.5 ms < the 17.7 ms bf16-weight
+    floor), and the Pallas kernel costs +1.4 ms/step at batch 8 vs that
+    fused path. Set HOCR_TPU_INT8=1 to re-enable (round 1's contiguous
+    decode loop benefited)."""
+    import os
+    if os.environ.get("HOCR_TPU_INT8") in ("1", "on", "true", "compiled"):
+        return "compiled" if jax.default_backend() == "tpu" else "off"
+    env_mode = _mode("HOCR_TPU_INT8")
+    return "off" if env_mode == "compiled" else env_mode
+
+
+def paged_attention_mode() -> str:
+    """Dispatch mode for the TPU paged-attention decode kernel
+    (jax.experimental.pallas.ops.tpu.paged_attention): reads only the
+    length-bounded pages of each slot straight from the block pool —
+    no gathered window copy. No interpreter path; CPU uses the jnp
+    gather fallback."""
+    mode = _mode("HOCR_TPU_PAGED")
+    return "off" if mode == "interpret" else mode
 
 
 def _mode(env_name: str) -> str:

@@ -86,10 +86,10 @@ def cv2_reference_chain(image: np.ndarray, chain: list[str]) -> np.ndarray:
                 cv2.MORPH_RECT, (1, 3)))
             out = cv2.inpaint(out, lines, 3, cv2.INPAINT_TELEA)
         elif step == "high_contrast":                    # tools.py:503-516
-            lab = cv2.cvtColor(out, cv2.COLOR_RGB2LAB)
+            gray = cv2.cvtColor(out, cv2.COLOR_RGB2GRAY) if out.ndim == 3 \
+                else out
             clahe = cv2.createCLAHE(clipLimit=3.0, tileGridSize=(8, 8))
-            lab[:, :, 0] = clahe.apply(lab[:, :, 0])
-            out = cv2.cvtColor(lab, cv2.COLOR_LAB2RGB)
+            out = clahe.apply(gray)
         else:
             raise ValueError(step)
     return out
@@ -156,6 +156,34 @@ def main() -> None:
         "what": "cv2 output vs itself +-1 gray level, same reader",
         "token_agreement": round(float(np.mean(control_agrees)), 4),
         "transcription_cer_ab": round(float(np.mean(control_cers)), 4),
+    }
+
+    # Fairness control: cv2's own parameter sensitivity — h=10 vs h=9
+    # through the same chain. If our-vs-cv2 CER is comparable to
+    # cv2(h=10)-vs-cv2(h=9), the approximation sits within the
+    # transform's own tuning noise.
+    import cv2 as _cv2
+    h_cers, h_agrees, h_deltas = [], [], []
+    for seed in range(4):
+        page = handwriting_page(seed)
+        a = cv2_reference_chain(page, ["denoise", "high_contrast"])
+        b9 = _cv2.fastNlMeansDenoisingColored(page, None, 9, 9, 7, 21)
+        gray = _cv2.cvtColor(b9, _cv2.COLOR_RGB2GRAY)
+        b = _cv2.createCLAHE(clipLimit=3.0, tileGridSize=(8, 8)).apply(gray)
+        h_deltas.append(float(np.mean(np.abs(
+            a.astype(np.int32) - b.astype(np.int32)))))
+        tokens_a = read_tokens(model, a)
+        tokens_b = read_tokens(model, b)
+        n = max(len(tokens_a), len(tokens_b), 1)
+        h_agrees.append(sum(x == y for x, y in zip(tokens_a, tokens_b)) / n)
+        from handwritten_ocr_tpu.text.metrics import tier1_metrics as _t1b
+        h_cers.append(_t1b(" ".join(map(str, tokens_b)),
+                           " ".join(map(str, tokens_a)))["cer"])
+    report["control_cv2_h10_vs_h9"] = {
+        "what": "cv2 denoise h=10 vs h=9 (parameter wiggle), same chain",
+        "mean_abs_pixel_delta": round(float(np.mean(h_deltas)), 3),
+        "token_agreement": round(float(np.mean(h_agrees)), 4),
+        "transcription_cer_ab": round(float(np.mean(h_cers)), 4),
     }
     for name, chain in chains.items():
         cers, agrees, deltas = [], [], []
