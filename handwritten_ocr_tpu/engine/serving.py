@@ -39,6 +39,28 @@ from handwritten_ocr_tpu.models.paged import PagedKVCache, paged_forward
 from handwritten_ocr_tpu.models.qwen25vl.language import lm_logits
 
 
+_STOP_MASK_CACHE: dict[tuple[int, int], np.ndarray] = {}
+
+
+def _string_stop_mask(tokenizer, vocab_size: int, eos: int) -> np.ndarray:
+    """Bool[vocab]: token text contains a quote character (or is EOS) —
+    the device-side stall condition for chunked string spans. A '\"' is a
+    single byte, so byte-level BPE can never split it across tokens; the
+    host still verifies escape parity on the joint text. Built once per
+    (tokenizer, vocab) and cached."""
+    key = (id(tokenizer), vocab_size)
+    cached = _STOP_MASK_CACHE.get(key)
+    if cached is not None:
+        return cached
+    mask = np.zeros((vocab_size,), bool)
+    for token in range(vocab_size):
+        if '"' in tokenizer.decode([token]):
+            mask[token] = True
+    mask[eos] = True
+    _STOP_MASK_CACHE[key] = mask
+    return mask
+
+
 @dataclasses.dataclass
 class GenRequest:
     """One generation job for the batcher."""
@@ -139,6 +161,53 @@ class PagedProgram:
         values, ids = jax.lax.top_k(logits, k)
         return ids, values, cache
 
+    @functools.partial(jax.jit, static_argnums=(0, 8), donate_argnums=(2,))
+    def _string_chunk(self, params, cache, last, auto0, remaining,
+                      stop_mask, rope_delta, chunk):
+        """Free-greedy decode of string value spans inside guided decode.
+
+        Slots with ``auto0`` True advance greedily until they emit a token
+        whose text contains a quote character (``stop_mask``), hit EOS, or
+        exhaust ``remaining`` — then they stall. Frozen slots (auto False)
+        re-execute their last position idempotently (write-before-read
+        makes the duplicate write harmless) without advancing ``lengths``.
+        One dispatch decodes up to ``chunk`` string tokens for every
+        active slot — the whole point: string spans dominate constrained
+        agent outputs (corrected_text is a full page), and this removes
+        the per-token host round trip for them.
+        """
+        cfg = self.cfg
+        eos = self.eos_token_id
+        n_slots = last.shape[0]
+        slot_ids = jnp.arange(n_slots)
+        tokens0 = jnp.full((n_slots, chunk), eos, jnp.int32)
+
+        def cond(state):
+            i, _, _, _, auto = state
+            return (i < chunk) & jnp.any(auto)
+
+        def body(state):
+            i, tokens, cache, last, auto = state
+            embeds = params["embed"]["w"][last][:, None, :]
+            start = cache.lengths
+            pos = (start + rope_delta)[:, None]
+            if self.mrope:
+                pos = jnp.broadcast_to(pos[None], (3, n_slots, 1))
+            new_len = jnp.where(auto, start + 1, start)
+            hidden, cache = paged_forward(params, cfg, embeds, pos, cache,
+                                          slot_ids, start, new_len)
+            logits = lm_logits(params, cfg, hidden)
+            nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+            committed = jnp.where(auto, nxt, last)
+            tokens = tokens.at[:, i].set(jnp.where(auto, nxt, eos))
+            stall = stop_mask[nxt] | (nxt == eos) | (i + 1 >= remaining)
+            auto = auto & ~stall
+            return i + 1, tokens, cache, committed, auto
+
+        _, tokens, cache, last, auto = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), tokens0, cache, last, auto0))
+        return tokens, cache, last, auto
+
     @functools.partial(jax.jit, static_argnums=(0, 5), donate_argnums=(2,))
     def _step_topk(self, params, cache, last, rope_delta, k):
         """One decode step for ALL slots returning per-slot top-k — the
@@ -171,6 +240,15 @@ class PagedProgram:
             with self.mesh:
                 return self._step_topk(*args)
         return self._step_topk(*args)
+
+    def string_chunk(self, cache, last, auto, remaining, stop_mask,
+                     rope_delta, chunk):
+        args = (self.params, cache, last, auto, remaining, stop_mask,
+                rope_delta, chunk)
+        if self.mesh is not None:
+            with self.mesh:
+                return self._string_chunk(*args)
+        return self._string_chunk(*args)
 
     def prefill(self, cache, embeds, positions, true_len, slot_ids):
         args = (self.params, cache, embeds, positions, true_len, slot_ids)
@@ -340,7 +418,9 @@ class ContinuousBatcher:
         queue = deque(requests)
         sessions: dict[int, SchemaSession] = {}
         results: dict[int, tuple[dict | None, bool]] = {}
-        topk = np.zeros((self.n_slots, top_k), np.int64)
+        stop_mask_host = _string_stop_mask(tokenizer,
+                                           self.program.cfg.vocab_size, eos)
+        stop_mask_dev = jnp.asarray(stop_mask_host)
 
         def admit() -> None:
             admitted = self._try_admit(queue)
@@ -364,10 +444,60 @@ class ContinuousBatcher:
                     top_k, jnp.asarray(slots))
                 ids = np.asarray(ids)
                 for row, (slot, request) in enumerate(group):
-                    topk[slot] = ids[row]
-                    sessions[slot] = SchemaSession(
-                        spec, tokenizer, eos, request.max_new)
+                    session = SchemaSession(spec, tokenizer, eos,
+                                            request.max_new)
+                    sessions[slot] = session
+                    # Commit the first token now, establishing the loop
+                    # invariant: _last committed but not yet embedded.
+                    token = session.next_token(ids[row])
+                    if token is None:
+                        # Degenerate plan (e.g. a propertyless schema)
+                        # finishes without generating anything.
+                        retire_slot(slot)
+                    else:
+                        self._last[slot] = token
 
+        def retire_slot(slot: int) -> None:
+            request = self._slot_req[slot]
+            results[id(request)] = sessions.pop(slot).result()
+            self._retire(slot)
+            self._last[slot] = eos
+
+        def string_chunk_round() -> None:
+            """Advance every session currently inside a string value span
+            with the chunked device loop (one dispatch for up to ``chunk``
+            string tokens per in-span slot; other slots freeze
+            idempotently) instead of per-token host guidance."""
+            auto = np.zeros((self.n_slots,), bool)
+            remaining = np.zeros((self.n_slots,), np.int32)
+            for slot, session in sessions.items():
+                if session.in_string_span():
+                    auto[slot] = True
+                    remaining[slot] = max(session.budget, 0)
+            tokens, self.cache, last, _ = self.program.string_chunk(
+                self.cache, jnp.asarray(self._last), jnp.asarray(auto),
+                jnp.asarray(remaining), stop_mask_dev,
+                jnp.asarray(self._rope_delta), self.chunk)
+            tokens = np.asarray(tokens)
+            self._last = np.array(last)
+            for slot in list(sessions):
+                session = sessions[slot]
+                if not auto[slot]:
+                    continue
+                row: list[int] = []
+                for token in tokens[slot]:
+                    token = int(token)
+                    row.append(token)
+                    if stop_mask_host[token] or token == eos:
+                        break
+                session.absorb_string_tokens(row)
+                if session.done:
+                    retire_slot(slot)
+
+        # Loop invariant at every round boundary: each active slot's
+        # ``_last`` token is committed but NOT yet embedded/written —
+        # both stepping disciplines (the per-token step and the string
+        # chunk) start by embedding ``_last``, so they compose freely.
         while queue or sessions:
             admit()
             if not sessions:
@@ -375,21 +505,14 @@ class ContinuousBatcher:
                     raise RuntimeError(
                         "request needs more KV blocks than the pool has")
                 break
-            freed = False
-            for slot in list(sessions):
-                session = sessions[slot]
-                # None ⇒ the session finished (or exhausted and drained).
-                token = session.next_token(topk[slot])
-                if token is None:
-                    request = self._slot_req[slot]
-                    results[id(request)] = session.result()
-                    sessions.pop(slot)
-                    self._retire(slot)
-                    self._last[slot] = eos
-                    freed = True
-                else:
-                    self._last[slot] = token
-            if freed and queue:
+            # Drain string value spans with the chunked device loop (one
+            # dispatch per ~chunk string tokens instead of per token).
+            # Afterwards no session is mid-span: a resolved span always
+            # refills the forced scaffold queue.
+            while sessions and any(s.in_string_span()
+                                   for s in sessions.values()):
+                string_chunk_round()
+            if queue and self._free_slots:
                 admit()
             if not sessions:
                 continue
@@ -397,8 +520,14 @@ class ContinuousBatcher:
                 self.cache, jnp.asarray(self._last),
                 jnp.asarray(self._rope_delta), top_k)
             ids = np.asarray(ids)
-            for slot in sessions:
-                topk[slot] = ids[slot]
+            for slot in list(sessions):
+                session = sessions[slot]
+                # None ⇒ the session finished (or exhausted and drained).
+                token = session.next_token(ids[slot])
+                if token is None:
+                    retire_slot(slot)
+                else:
+                    self._last[slot] = token
         return [results[id(request)] for request in requests]
 
     # ── the serving loop ──────────────────────────────────────────

@@ -305,6 +305,38 @@ class SchemaSession:
             return self._enum_step(top_ids)
         return self._decision_step(payload, top_ids)
 
+    # ── bulk string absorption (device-chunked spans) ─────────────
+    def in_string_span(self) -> bool:
+        """True when the next step will free-generate string content —
+        the serving layer may then advance this slot with the chunked
+        device loop instead of per-token host guidance."""
+        return (not self.done and not self.exhausted and not self._forced
+                and self._action is not None and self._action[0] == "string")
+
+    def absorb_string_tokens(self, tokens) -> None:
+        """Ingest a device-chunk's worth of string tokens (already written
+        to the model's context). Tokens after the span-closing quote are
+        never present — the device loop stalls ON the quote-bearing token.
+        EOS (or an empty chunk at zero budget) exhausts the session,
+        keeping the partial value, exactly like the per-token path."""
+        assert self._action is not None and self._action[0] == "string"
+        for token in tokens:
+            token = int(token)
+            self.budget -= 1
+            if token == self.eos or self.budget < 0:
+                self._finish_exhausted()
+                return
+            self._string_ids.append(token)
+        text = self.tokenizer.decode(self._string_ids)
+        quote = find_unescaped_quote(text)
+        if quote >= 0:
+            value = text[:quote]
+            self._string_ids = []
+            self._action = None
+            self._pump(value)
+        elif self.budget <= 0:
+            self._finish_exhausted()
+
     # ── value-span steps ──────────────────────────────────────────
     def _string_step(self, top_ids) -> int | None:
         token = int(top_ids[0])

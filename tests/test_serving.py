@@ -223,6 +223,39 @@ def test_schema_constrained_chat_batch(tiny):
     assert batch == solo
 
 
+def test_guided_decode_chunk_invariance(tiny):
+    """Schema-guided output is identical whatever the string-chunk size —
+    the chunked device span loop and per-token host stepping are the same
+    decoder (chunk=1 degenerates to per-token)."""
+    import json
+    from handwritten_ocr_tpu.agents.schemas import CriticResult
+    from handwritten_ocr_tpu.engine.serving import PagedProgram
+    from handwritten_ocr_tpu.models.processor import ByteTokenizer
+
+    params, cfg = tiny
+    cfg_big = Qwen3Config(**{**{f.name: getattr(cfg, f.name)
+                                for f in cfg.__dataclass_fields__.values()},
+                             "vocab_size": 152000})
+    params = init_qwen3(jax.random.PRNGKey(13), cfg_big, dtype=jnp.float32)
+    tok = ByteTokenizer()
+    schema = CriticResult.model_json_schema()
+    prompt = np.asarray(tok.encode("<|im_start|>user\ncheck<|im_end|>\n"),
+                        np.int32)
+
+    outcomes = []
+    for chunk in (1, 4, 9):
+        batcher = ContinuousBatcher(
+            PagedProgram(params, cfg_big), n_slots=2, block_size=8,
+            max_context=256, chunk=chunk, prefill_bucket=16,
+            dtype=jnp.float32)
+        [(obj, complete)] = batcher.run_guided(
+            [GenRequest(prompt, 80)], schema, tok)
+        assert complete and obj is not None
+        CriticResult.model_validate(obj)
+        outcomes.append(json.dumps(obj, sort_keys=True))
+    assert outcomes[0] == outcomes[1] == outcomes[2]
+
+
 def test_reasoning_backend_paged_matches_dense(tiny):
     from handwritten_ocr_tpu.engine.jax_engines import JaxReasoningBackend
     from handwritten_ocr_tpu.models.processor import ByteTokenizer
