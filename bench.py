@@ -360,6 +360,8 @@ def main() -> None:
     _ = np.asarray(jnp.ones(8))          # warm the device tunnel
 
     read = read_throughput_bench(model, cfg, pages, budgets, iters, use_int8)
+    import gc
+    gc.collect()     # release the read bench's KV pool before the p50 run
 
     detail = {
         "workload": {"pages": n_pages, "budget_cap": budget_cap,

@@ -107,7 +107,8 @@ class PagedProgram:
     def _prefill(self, params, cache, embeds, positions, true_len, slot_ids):
         start = jnp.zeros_like(true_len)
         hidden, cache = paged_forward(params, self.cfg, embeds, positions,
-                                      cache, slot_ids, start, true_len)
+                                      cache, slot_ids, start, true_len,
+                                      fresh=True)
         idx = jnp.broadcast_to((true_len - 1)[:, None, None],
                                (hidden.shape[0], 1, hidden.shape[-1]))
         last_hidden = jnp.take_along_axis(hidden, idx, axis=1)
@@ -153,7 +154,8 @@ class PagedProgram:
         """Prefill variant returning the next-token top-k (guided decode)."""
         start = jnp.zeros_like(true_len)
         hidden, cache = paged_forward(params, self.cfg, embeds, positions,
-                                      cache, slot_ids, start, true_len)
+                                      cache, slot_ids, start, true_len,
+                                      fresh=True)
         idx = jnp.broadcast_to((true_len - 1)[:, None, None],
                                (hidden.shape[0], 1, hidden.shape[-1]))
         last_hidden = jnp.take_along_axis(hidden, idx, axis=1)

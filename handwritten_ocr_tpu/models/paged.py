@@ -115,14 +115,17 @@ def _fit_pages_per_block(max_blocks: int, preferred: int | None = None) -> int:
 
 def _paged_self_attention(layer: dict, cfg, x: jax.Array, cos, sin,
                           layer_idx: int, k_pool, v_pool,
-                          tables: jax.Array, start: jax.Array):
+                          tables: jax.Array, start: jax.Array,
+                          fresh: bool):
     """One attention layer over the paged pool.
 
     x: [B, T, D] current tokens (prompt for prefill, single step for
     decode); start[b] = tokens already cached for row b. Writes the new
-    k/v into the pool first, then attends: the T==1 decode step uses the
-    TPU paged-attention kernel (length-bounded page reads); prefill and
-    CPU fall back to gather + causal-by-absolute-position mask.
+    k/v into the pool first, then attends: fresh prefill (start == 0)
+    attends only to itself, so it takes the Pallas flash kernel straight
+    on the current k/v; the T==1 decode step uses the TPU paged-attention
+    kernel (length-bounded page reads); CPU falls back to gather +
+    causal-by-absolute-position mask.
     """
     b, t, _ = x.shape
     hd = cfg.head_dim
@@ -137,7 +140,22 @@ def _paged_self_attention(layer: dict, cfg, x: jax.Array, cos, sin,
     k_pool = _write(k_pool, layer_idx, tables, start, k)
     v_pool = _write(v_pool, layer_idx, tables, start, v)
 
-    from handwritten_ocr_tpu.ops.dispatch import paged_attention_mode
+    from handwritten_ocr_tpu.ops.dispatch import (
+        flash_mode, paged_attention_mode)
+    if fresh and t > 1:
+        mode = flash_mode()
+        if mode != "off":
+            # Prefill fast path: a fresh slot attends only to its own
+            # prompt — causal flash over the current tokens (right-padded
+            # garbage rows self-attend harmlessly; their outputs are
+            # never read).
+            from handwritten_ocr_tpu.ops.flash_attention import (
+                flash_attention)
+            out = flash_attention(q, k, v, causal=True, scale=hd ** -0.5,
+                                  interpret=(mode == "interpret"))
+            return (linear(layer["o"], out.reshape(b, t, -1)),
+                    k_pool, v_pool)
+
     if t == 1 and paged_attention_mode() == "compiled":
         from jax.experimental.pallas.ops.tpu.paged_attention. \
             paged_attention_kernel import paged_attention
@@ -165,6 +183,7 @@ def _paged_self_attention(layer: dict, cfg, x: jax.Array, cos, sin,
 def paged_forward(params: dict, cfg, embeds: jax.Array,
                   position_ids: jax.Array, cache: PagedKVCache,
                   slot_ids: jax.Array, start: jax.Array, new_len: jax.Array,
+                  fresh: bool = False,
                   ) -> tuple[jax.Array, PagedKVCache]:
     """Decoder stack over ``embeds [B, T, D]`` with the paged cache.
 
@@ -173,7 +192,8 @@ def paged_forward(params: dict, cfg, embeds: jax.Array,
     length to record for each slot afterwards — the TRUE prompt length for
     right-padded prefill (pad-tail writes beyond it are junk that decode
     overwrites position-by-position before ever attending to them), or
-    ``start + 1`` for decode steps.
+    ``start + 1`` for decode steps. ``fresh`` (static) asserts start == 0
+    for every row, unlocking the flash-attention prefill path.
     """
     tables = cache.block_tables[slot_ids]          # [B, max_blocks]
     cos, sin = mrope_cos_sin(cfg, position_ids)
@@ -182,7 +202,7 @@ def paged_forward(params: dict, cfg, embeds: jax.Array,
     for idx, layer in enumerate(params["layers"]):
         attn_out, k_pool, v_pool = _paged_self_attention(
             layer["attn"], cfg, rms_norm(layer["ln1"], x, cfg.rms_norm_eps),
-            cos, sin, idx, k_pool, v_pool, tables, start)
+            cos, sin, idx, k_pool, v_pool, tables, start, fresh)
         x = x + attn_out
         x = x + swiglu_mlp(layer["mlp"],
                            rms_norm(layer["ln2"], x, cfg.rms_norm_eps))

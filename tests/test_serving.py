@@ -65,6 +65,18 @@ def test_paged_matches_dense(tiny):
     assert got == expected
 
 
+def test_paged_prefill_flash_interpret_matches(tiny, monkeypatch):
+    """The fresh-prefill flash path (TPU fast path, exercised here via the
+    Pallas interpreter) decodes identically to the gather path."""
+    params, cfg = tiny
+    prompt = np.asarray([5, 9, 2, 77, 31, 8, 14], np.int32)
+    expected = dense_tokens(params, cfg, prompt.tolist(), 6)[:6]
+    monkeypatch.setenv("HOCR_TPU_FLASH", "interpret")
+    batcher = make_batcher(params, cfg)
+    [got] = batcher.run([GenRequest(prompt, 6)])
+    assert got == expected
+
+
 def test_slot_and_block_reuse(tiny):
     """More requests than slots: retirement frees slots/blocks for the
     queue; the pool never leaks."""
