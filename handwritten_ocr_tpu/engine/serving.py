@@ -115,9 +115,9 @@ class PagedProgram:
         logits = lm_logits(params, self.cfg, last_hidden)
         return jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32), cache
 
-    @functools.partial(jax.jit, static_argnums=(0, 7), donate_argnums=(2,))
+    @functools.partial(jax.jit, static_argnums=(0, 7, 8), donate_argnums=(2,))
     def _decode_chunk(self, params, cache, last, done0, remaining,
-                      rope_delta, chunk):
+                      rope_delta, chunk, table_pages=None):
         cfg = self.cfg
         eos = self.eos_token_id
         n_slots = last.shape[0]
@@ -136,7 +136,9 @@ class PagedProgram:
             if self.mrope:
                 pos = jnp.broadcast_to(pos[None], (3, n_slots, 1))
             hidden, cache = paged_forward(params, cfg, embeds, pos, cache,
-                                          slot_ids, start, start + 1)
+                                          slot_ids, start, start + 1,
+                                          attn_valid=~done,
+                                          table_pages=table_pages)
             logits = lm_logits(params, cfg, hidden)
             nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
             nxt = jnp.where(done, eos, nxt)
@@ -163,9 +165,9 @@ class PagedProgram:
         values, ids = jax.lax.top_k(logits, k)
         return ids, values, cache
 
-    @functools.partial(jax.jit, static_argnums=(0, 8), donate_argnums=(2,))
+    @functools.partial(jax.jit, static_argnums=(0, 8, 9), donate_argnums=(2,))
     def _string_chunk(self, params, cache, last, auto0, remaining,
-                      stop_mask, rope_delta, chunk):
+                      stop_mask, rope_delta, chunk, table_pages=None):
         """Free-greedy decode of string value spans inside guided decode.
 
         Slots with ``auto0`` True advance greedily until they emit a token
@@ -197,7 +199,9 @@ class PagedProgram:
                 pos = jnp.broadcast_to(pos[None], (3, n_slots, 1))
             new_len = jnp.where(auto, start + 1, start)
             hidden, cache = paged_forward(params, cfg, embeds, pos, cache,
-                                          slot_ids, start, new_len)
+                                          slot_ids, start, new_len,
+                                          attn_valid=auto,
+                                          table_pages=table_pages)
             logits = lm_logits(params, cfg, hidden)
             nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
             committed = jnp.where(auto, nxt, last)
@@ -210,11 +214,15 @@ class PagedProgram:
             cond, body, (jnp.int32(0), tokens0, cache, last, auto0))
         return tokens, cache, last, auto
 
-    @functools.partial(jax.jit, static_argnums=(0, 5), donate_argnums=(2,))
-    def _step_topk(self, params, cache, last, rope_delta, k):
+    @functools.partial(jax.jit, static_argnums=(0, 6, 7), donate_argnums=(2,))
+    def _step_topk(self, params, cache, last, active, rope_delta, k,
+                   table_pages=None):
         """One decode step for ALL slots returning per-slot top-k — the
         schema-guided decode's device primitive: the host commits one
-        token per slot per step (forced scaffold or constrained choice)."""
+        token per slot per step (forced scaffold or constrained choice).
+        ``active`` (bool [S]) marks slots with live sessions; inactive
+        slots advance their (junk) position but skip all attention page
+        reads — their top-k is garbage the host never looks at."""
         cfg = self.cfg
         n_slots = last.shape[0]
         embeds = params["embed"]["w"][last][:, None, :]
@@ -223,7 +231,9 @@ class PagedProgram:
         if self.mrope:
             pos = jnp.broadcast_to(pos[None], (3, n_slots, 1))
         hidden, cache = paged_forward(params, cfg, embeds, pos, cache,
-                                      jnp.arange(n_slots), start, start + 1)
+                                      jnp.arange(n_slots), start, start + 1,
+                                      attn_valid=active,
+                                      table_pages=table_pages)
         logits = lm_logits(params, cfg, hidden)[:, -1]
         values, ids = jax.lax.top_k(logits, k)
         return ids, values, cache
@@ -236,17 +246,20 @@ class PagedProgram:
                 return self._prefill_topk(*args)
         return self._prefill_topk(*args)
 
-    def step_topk(self, cache, last, rope_delta, k):
-        args = (self.params, cache, last, rope_delta, k)
+    def step_topk(self, cache, last, rope_delta, k, active=None,
+                  table_pages=None):
+        if active is None:
+            active = jnp.ones(last.shape, bool)
+        args = (self.params, cache, last, active, rope_delta, k, table_pages)
         if self.mesh is not None:
             with self.mesh:
                 return self._step_topk(*args)
         return self._step_topk(*args)
 
     def string_chunk(self, cache, last, auto, remaining, stop_mask,
-                     rope_delta, chunk):
+                     rope_delta, chunk, table_pages=None):
         args = (self.params, cache, last, auto, remaining, stop_mask,
-                rope_delta, chunk)
+                rope_delta, chunk, table_pages)
         if self.mesh is not None:
             with self.mesh:
                 return self._string_chunk(*args)
@@ -259,8 +272,10 @@ class PagedProgram:
                 return self._prefill(*args)
         return self._prefill(*args)
 
-    def decode_chunk(self, cache, last, done, remaining, rope_delta, chunk):
-        args = (self.params, cache, last, done, remaining, rope_delta, chunk)
+    def decode_chunk(self, cache, last, done, remaining, rope_delta, chunk,
+                     table_pages=None):
+        args = (self.params, cache, last, done, remaining, rope_delta, chunk,
+                table_pages)
         if self.mesh is not None:
             with self.mesh:
                 return self._decode_chunk(*args)
@@ -311,6 +326,29 @@ class ContinuousBatcher:
         self._slot_blocks: dict[int, list[int]] = {}
         self._last = np.full((n_slots,), program.eos_token_id, np.int32)
         self._rope_delta = np.zeros((n_slots,), np.int32)
+        # Host mirror of each slot's device cache length (set at prefill,
+        # advanced in lockstep with the decode loops). Drives the table-
+        # width ladder: attention reads scale with table width, so every
+        # dispatch attends over the narrowest power-of-two page count
+        # covering all live slots instead of the full budget-cap table.
+        self._host_len = np.zeros((n_slots,), np.int64)
+
+    def _table_pages(self, slots, margin: int) -> int | None:
+        """Narrowest ladder width (pages) covering ``host_len + margin``
+        for every slot in ``slots``; None = full table. Ladder widths are
+        powers of two (bounded compile count). Live slots' reads AND
+        writes stay below ``width * block_size`` by construction; stale
+        slots' junk writes clamp into rows whose blocks are free (frees
+        only reassign after the zeroed table row is pushed)."""
+        slots = list(slots)
+        if not slots:
+            return None
+        needed = max(self._host_len[slot] for slot in slots) + margin
+        blocks = -(-int(needed) // self.block_size)
+        width = 8
+        while width < blocks:
+            width *= 2
+        return None if width >= self.max_blocks else width
 
     # ── admission ─────────────────────────────────────────────────
     def _blocks_needed(self, request: GenRequest) -> int:
@@ -365,6 +403,7 @@ class ContinuousBatcher:
             for row, (slot, request) in enumerate(group):
                 token = int(first[row])
                 self._last[slot] = token
+                self._host_len[slot] = len(request.prompt_ids)
                 eos = token == self.program.eos_token_id
                 finished = eos or request.max_new <= 1
                 request._emit([] if eos else [token], finished)
@@ -449,6 +488,7 @@ class ContinuousBatcher:
                     session = SchemaSession(spec, tokenizer, eos,
                                             request.max_new)
                     sessions[slot] = session
+                    self._host_len[slot] = len(request.prompt_ids)
                     # Commit the first token now, establishing the loop
                     # invariant: _last committed but not yet embedded.
                     token = session.next_token(ids[row])
@@ -479,7 +519,11 @@ class ContinuousBatcher:
             tokens, self.cache, last, _ = self.program.string_chunk(
                 self.cache, jnp.asarray(self._last), jnp.asarray(auto),
                 jnp.asarray(remaining), stop_mask_dev,
-                jnp.asarray(self._rope_delta), self.chunk)
+                jnp.asarray(self._rope_delta), self.chunk,
+                # Width covers frozen sessions too: they re-write (junk)
+                # at their true position each step, which must not clamp
+                # into cached history.
+                table_pages=self._table_pages(sessions, self.chunk + 1))
             tokens = np.asarray(tokens)
             self._last = np.array(last)
             for slot in list(sessions):
@@ -492,6 +536,12 @@ class ContinuousBatcher:
                     row.append(token)
                     if stop_mask_host[token] or token == eos:
                         break
+                # Device advance == len(row) (it stalled at the same
+                # token), except when the budget stalled it on a plain
+                # token and the trailing filler EOS was also absorbed —
+                # a +1 overcount that only widens the table bound, and
+                # such sessions die (budget exhausted) this round anyway.
+                self._host_len[slot] += len(row)
                 session.absorb_string_tokens(row)
                 if session.done:
                     retire_slot(slot)
@@ -518,9 +568,15 @@ class ContinuousBatcher:
                 admit()
             if not sessions:
                 continue
+            active = np.zeros((self.n_slots,), bool)
+            for slot in sessions:
+                active[slot] = True
+                self._host_len[slot] += 1
             ids, _, self.cache = self.program.step_topk(
                 self.cache, jnp.asarray(self._last),
-                jnp.asarray(self._rope_delta), top_k)
+                jnp.asarray(self._rope_delta), top_k,
+                active=jnp.asarray(active),
+                table_pages=self._table_pages(sessions, 2))
             ids = np.asarray(ids)
             for slot in list(sessions):
                 session = sessions[slot]
@@ -558,7 +614,9 @@ class ContinuousBatcher:
             tokens, self.cache, last, _ = self.program.decode_chunk(
                 self.cache, jnp.asarray(self._last), jnp.asarray(done0),
                 jnp.asarray(remaining), jnp.asarray(self._rope_delta),
-                self.chunk)
+                self.chunk,
+                table_pages=self._table_pages(self._slot_req,
+                                              self.chunk + 1))
             tokens = np.asarray(tokens)
             self._last = np.array(last)      # writable copy (admission edits)
             for slot in list(self._slot_req):
@@ -578,4 +636,8 @@ class ContinuousBatcher:
                 request._emit(fresh, finished)
                 if finished:
                     self._retire(slot)
+            for slot in self._slot_req:
+                # Survivors ran the full chunk (the loop only exits early
+                # when EVERY slot is done, and done slots get retired).
+                self._host_len[slot] += self.chunk
         return [request.tokens for request in requests]

@@ -26,8 +26,8 @@ def _linear(key, d_in, d_out, dtype, bias=False, scale=0.02, quant_ok=True):
     if _QUANTIZE and quant_ok:
         # Quantize immediately so the full-precision tree never
         # materializes (a bf16 7B tree alone would exhaust a 16 GB chip).
-        # Layout matches models/quant.quantize_tree (projections only;
-        # patch_embed / lm_head callers pass quant_ok=False).
+        # Layout matches models/quant.quantize_tree (projections +
+        # lm_head; the patch_embed caller passes quant_ok=False).
         from handwritten_ocr_tpu.models.quant import _quantize_linear
         params = _quantize_linear({"w": w})
     else:
@@ -117,7 +117,7 @@ def init_text(key, cfg, dtype=jnp.bfloat16, qk_norm: bool = False,
     }
     if not cfg.tie_word_embeddings:
         tree["lm_head"] = _linear(keys[-2], cfg.hidden_size, cfg.vocab_size,
-                                  dtype, quant_ok=False)
+                                  dtype)
     return tree
 
 

@@ -116,7 +116,7 @@ def _fit_pages_per_block(max_blocks: int, preferred: int | None = None) -> int:
 def _paged_self_attention(layer: dict, cfg, x: jax.Array, cos, sin,
                           layer_idx: int, k_pool, v_pool,
                           tables: jax.Array, start: jax.Array,
-                          fresh: bool):
+                          fresh: bool, attn_valid: jax.Array | None = None):
     """One attention layer over the paged pool.
 
     x: [B, T, D] current tokens (prompt for prefill, single step for
@@ -126,6 +126,13 @@ def _paged_self_attention(layer: dict, cfg, x: jax.Array, cos, sin,
     on the current k/v; the T==1 decode step uses the TPU paged-attention
     kernel (length-bounded page reads); CPU falls back to gather +
     causal-by-absolute-position mask.
+
+    attn_valid (optional bool [B]): rows whose attention output will
+    actually be consumed. The TPU kernel skips length-0 rows entirely
+    (no page DMAs, no compute), so invalid rows — retired slots waiting
+    for re-admission, frozen slots in guided decode — are given length 0
+    and pay zero HBM bandwidth. Their output is garbage the caller
+    already discards (``where(done, eos, ...)``).
     """
     b, t, _ = x.shape
     hd = cfg.head_dim
@@ -159,10 +166,13 @@ def _paged_self_attention(layer: dict, cfg, x: jax.Array, cos, sin,
     if t == 1 and paged_attention_mode() == "compiled":
         from jax.experimental.pallas.ops.tpu.paged_attention. \
             paged_attention_kernel import paged_attention
+        lengths = start + 1
+        if attn_valid is not None:
+            lengths = jnp.where(attn_valid, lengths, 0)
         out = paged_attention(
             (q[:, 0] * hd ** -0.5).astype(k_pool.dtype),
             k_pool[layer_idx], v_pool[layer_idx],
-            lengths=start + 1, page_indices=tables,
+            lengths=lengths, page_indices=tables,
             pages_per_compute_block=_fit_pages_per_block(tables.shape[1]),
         )                                          # [B, Hq, D]
         out = out.astype(x.dtype)[:, None]
@@ -183,7 +193,8 @@ def _paged_self_attention(layer: dict, cfg, x: jax.Array, cos, sin,
 def paged_forward(params: dict, cfg, embeds: jax.Array,
                   position_ids: jax.Array, cache: PagedKVCache,
                   slot_ids: jax.Array, start: jax.Array, new_len: jax.Array,
-                  fresh: bool = False,
+                  fresh: bool = False, attn_valid: jax.Array | None = None,
+                  table_pages: int | None = None,
                   ) -> tuple[jax.Array, PagedKVCache]:
     """Decoder stack over ``embeds [B, T, D]`` with the paged cache.
 
@@ -194,15 +205,28 @@ def paged_forward(params: dict, cfg, embeds: jax.Array,
     overwrites position-by-position before ever attending to them), or
     ``start + 1`` for decode steps. ``fresh`` (static) asserts start == 0
     for every row, unlocking the flash-attention prefill path.
+    attn_valid (optional bool [B]): rows whose output is consumed; rows
+    marked False skip all attention page reads on the TPU kernel path
+    (see _paged_self_attention).
+    table_pages (optional, static): attend over only the first N pages of
+    each slot's block table. The paged-attention kernel reads whole
+    compute blocks, so table width — not live length — sets its HBM
+    traffic; the serving loop passes the narrowest power-of-two width
+    covering every live slot's length (plus the chunk), so early decode
+    steps against a 2,048-token budget table read ~4x fewer KV bytes.
+    Callers must guarantee every VALID row's length (and every write
+    position) stays below ``table_pages * block_size``.
     """
     tables = cache.block_tables[slot_ids]          # [B, max_blocks]
+    if table_pages is not None and table_pages < tables.shape[1]:
+        tables = tables[:, :table_pages]
     cos, sin = mrope_cos_sin(cfg, position_ids)
     x = embeds
     k_pool, v_pool = cache.k, cache.v
     for idx, layer in enumerate(params["layers"]):
         attn_out, k_pool, v_pool = _paged_self_attention(
             layer["attn"], cfg, rms_norm(layer["ln1"], x, cfg.rms_norm_eps),
-            cos, sin, idx, k_pool, v_pool, tables, start, fresh)
+            cos, sin, idx, k_pool, v_pool, tables, start, fresh, attn_valid)
         x = x + attn_out
         x = x + swiglu_mlp(layer["mlp"],
                            rms_norm(layer["ln2"], x, cfg.rms_norm_eps))

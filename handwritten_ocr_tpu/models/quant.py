@@ -4,12 +4,17 @@ Halves HBM weight traffic — the decode step is weight-bandwidth-bound
 (measured ~94% of speed-of-light in bf16), so int8 weights approach a 2x
 decode speedup and let the 7B flagship fit a single 16 GB chip.
 
-Scheme: every projection weight W[in, out] in the attention/MLP stacks is
-stored as int8 with a float32 per-column scale (absmax / 127). Embedding,
-lm_head, norms, and biases stay in bf16 (quality-critical, small share of
-bytes). The forward dequantizes inline: ``(x @ W_q.astype(bf16)) * scale``
-— XLA keeps the int8 buffer in HBM and fuses the widening into the matmul
-read on TPU.
+Scheme: every projection weight W[in, out] in the attention/MLP stacks —
+and the lm_head, which at 152k vocab is the single largest per-step weight
+read (1.09 GB bf16 for the 7B) — is stored as int8 with a float32
+per-column scale (absmax / 127). Embedding, norms, and biases stay in bf16
+(quality-critical, small share of bytes; the embed table is a row gather,
+not a full read, so quantizing it buys no decode bandwidth). The forward
+dequantizes inline: ``(x @ W_q.astype(bf16)) * scale`` — XLA keeps the
+int8 buffer in HBM and fuses the widening into the matmul read on TPU.
+The lm_head matmul accumulates in f32 and applies its scale in f32
+(models/qwen25vl/language.py:lm_logits), so argmax decisions see the same
+precision as the bf16 path.
 
 Quality: weight-only int8 with per-channel scales is a standard deployment
 scheme with near-lossless greedy-decode behavior; parity bounds are checked
@@ -25,7 +30,7 @@ import jax.numpy as jnp
 
 # Leaf dict keys of projections to quantize (matches weights.py layout).
 _QUANT_PARENTS = {"q", "k", "v", "o", "qkv", "proj", "gate", "up", "down",
-                  "fc1", "fc2"}
+                  "fc1", "fc2", "lm_head"}
 
 
 def _quantize_linear(linear_params: dict) -> dict:
@@ -39,19 +44,24 @@ def _quantize_linear(linear_params: dict) -> dict:
     return out
 
 
-def quantize_tree(params: Any) -> Any:
-    """Quantize every projection in a param pytree (dict/list recursion)."""
+def quantize_tree(params: Any, lm_head: bool = True) -> Any:
+    """Quantize every projection in a param pytree (dict/list recursion).
+
+    ``lm_head=False`` keeps the output head in bf16 (the pre-round-2
+    policy) for A/B comparisons."""
     if isinstance(params, dict):
         out = {}
         for key, value in params.items():
-            if (isinstance(value, dict) and key in _QUANT_PARENTS
+            quantizable = key in _QUANT_PARENTS and (key != "lm_head"
+                                                     or lm_head)
+            if (isinstance(value, dict) and quantizable
                     and "w" in value and value["w"].ndim == 2):
                 out[key] = _quantize_linear(value)
             else:
-                out[key] = quantize_tree(value)
+                out[key] = quantize_tree(value, lm_head=lm_head)
         return out
     if isinstance(params, list):
-        return [quantize_tree(v) for v in params]
+        return [quantize_tree(v, lm_head=lm_head) for v in params]
     return params
 
 

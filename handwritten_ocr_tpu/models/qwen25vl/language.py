@@ -160,9 +160,21 @@ def text_forward(
 
 
 def lm_logits(params: dict, cfg: TextConfig, hidden: jax.Array) -> jax.Array:
-    """Project final hidden states to vocabulary logits (fp32)."""
+    """Project final hidden states to vocabulary logits (fp32).
+
+    Supports the weight-only int8 head (models/quant.py): the widening is
+    written inline so XLA fuses it into the matmul's HBM read (1 byte per
+    weight — the head is the largest single weight read of a decode step),
+    while accumulation and the per-column scale stay f32 so argmax
+    decisions see bf16-path precision."""
     if cfg.tie_word_embeddings:
         w = params["embed"]["w"].T
     else:
-        w = params["lm_head"]["w"]
+        head = params["lm_head"]
+        if "w_q" in head:
+            logits = jnp.einsum("btd,dv->btv", hidden,
+                                head["w_q"].astype(hidden.dtype),
+                                preferred_element_type=jnp.float32)
+            return logits * head["w_scale"]
+        w = head["w"]
     return jnp.einsum("btd,dv->btv", hidden, w, preferred_element_type=jnp.float32)

@@ -38,10 +38,14 @@ def test_quantize_tree_structure_and_size():
     assert layer["attn"]["q"]["w_scale"].shape == (64,)
     assert "w" not in layer["attn"]["q"]
     assert layer["attn"]["q"]["b"].dtype == jnp.float32   # bias kept
-    # Embed / lm_head / norms untouched.
+    # lm_head quantized (largest per-step weight read); embed / norms not.
+    assert quant["text"]["lm_head"]["w_q"].dtype == jnp.int8
     assert quant["text"]["embed"]["w"].dtype == jnp.float32
-    assert quant["text"]["lm_head"]["w"].dtype == jnp.float32
     assert after < before * 0.6
+    # Opt-out keeps the head in full precision (pre-round-2 policy).
+    kept = quantize_tree(params, lm_head=False)
+    assert kept["text"]["lm_head"]["w"].dtype == jnp.float32
+    assert kept["text"]["layers"][0]["attn"]["q"]["w_q"].dtype == jnp.int8
 
 
 def test_quantized_linear_error_bound():
@@ -74,6 +78,31 @@ def test_quantized_model_logits_close():
     denom = np.abs(full).max()
     assert np.abs(q8 - full).max() / denom < 0.1
     # Top-1 predictions overwhelmingly agree.
+    agree = (full.argmax(-1) == q8.argmax(-1)).mean()
+    assert agree >= 0.9
+
+
+def test_int8_lm_head_argmax_agreement():
+    """Greedy decisions through the int8 head track the bf16 head.
+
+    Random-weight logits are near worst case (near-uniform, tight ties), so
+    high agreement here is a conservative bound for trained checkpoints.
+    """
+    from handwritten_ocr_tpu.models.init import init_qwen3
+    from handwritten_ocr_tpu.models.qwen3 import Qwen3Config
+    from handwritten_ocr_tpu.models.qwen25vl.language import lm_logits
+    cfg = Qwen3Config(vocab_size=1024, hidden_size=64, intermediate_size=128,
+                      num_hidden_layers=2, num_attention_heads=4,
+                      num_key_value_heads=2, head_dim=16)
+    params = init_qwen3(jax.random.PRNGKey(7), cfg, dtype=jnp.float32)
+    quant = quantize_tree(params)
+    hidden = jnp.asarray(np.random.default_rng(3).standard_normal(
+        (16, 4, 64)).astype(np.float32))
+    full = np.asarray(lm_logits(params, cfg, hidden))
+    q8 = np.asarray(lm_logits(quant, cfg, hidden))
+    assert q8.dtype == np.float32          # f32 accumulation + scaling
+    drift = np.abs(q8 - full).max() / np.abs(full).max()
+    assert drift < 0.05
     agree = (full.argmax(-1) == q8.argmax(-1)).mean()
     assert agree >= 0.9
 

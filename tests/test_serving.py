@@ -135,6 +135,32 @@ def test_early_eos_frees_budget(tiny):
     assert len(batcher._free_slots) == batcher.n_slots
 
 
+def test_table_width_ladder(tiny):
+    """The width ladder picks the narrowest power-of-two page count
+    covering live lengths (+margin), and narrow-table decode bit-matches
+    dense — including a mid-decode width transition."""
+    params, cfg = tiny
+    batcher = make_batcher(params, cfg, max_context=512, n_slots=2,
+                           block_size=8)                  # 64-page tables
+    batcher._host_len[0] = 40                             # 5 blocks live
+    assert batcher._table_pages([0], margin=6) == 8       # ceil(46/8)=6 -> 8
+    batcher._host_len[1] = 120                            # 15 blocks
+    assert batcher._table_pages([0, 1], margin=6) == 16
+    batcher._host_len[1] = 500                            # beyond ladder
+    assert batcher._table_pages([0, 1], margin=6) is None  # full table
+    assert batcher._table_pages([], margin=6) is None
+
+    # End-to-end: prompt 30 + 60 new tokens crosses the 8-page (64-token)
+    # width boundary mid-decode; tokens must still bit-match dense.
+    rng = np.random.default_rng(7)
+    prompt = rng.integers(1, 250, size=30).tolist()
+    expected = dense_tokens(params, cfg, prompt, 60)[:60]
+    fresh = make_batcher(params, cfg, max_context=512, n_slots=2,
+                         block_size=8)
+    [got] = fresh.run([GenRequest(np.asarray(prompt, np.int32), 60)])
+    assert got == expected
+
+
 def test_pool_too_small_raises(tiny):
     params, cfg = tiny
     batcher = make_batcher(params, cfg, n_blocks=3)        # 2 usable blocks
