@@ -109,8 +109,9 @@ def page_token_budgets(n_pages: int, cap: int) -> list[int]:
 
 def decode_step_read_bytes(cfg, batch: int, mean_ctx: int, quant: bool) -> float:
     """HBM bytes read per decode step (the bandwidth floor): every text-
-    decoder weight once (int8 projections, bf16 lm_head/norms; the embed
-    table is a row gather, not a full read) + the KV window per page."""
+    decoder weight once (int8 projections AND lm_head since round 2;
+    the embed table is a row gather, not a full read) + the KV window
+    per page."""
     t = cfg.text
     h, hd = t.hidden_size, t.head_dim
     proj = 1 if quant else 2
@@ -118,7 +119,8 @@ def decode_step_read_bytes(cfg, batch: int, mean_ctx: int, quant: bool) -> float
                  + 2 * h * t.num_key_value_heads * hd               # k, v
                  + t.num_attention_heads * hd * h                   # o
                  + 3 * h * t.intermediate_size) * proj              # mlp
-    weights = t.num_hidden_layers * per_layer + h * t.vocab_size * 2  # lm_head
+    weights = (t.num_hidden_layers * per_layer
+               + h * t.vocab_size * proj)                           # lm_head
     kv = (2 * t.num_hidden_layers * batch * mean_ctx
           * t.num_key_value_heads * t.head_dim * 2)
     return weights + kv

@@ -1,15 +1,28 @@
 """Non-local means denoising (reference tools.py:576-589).
 
-The reference calls cv2.fastNlMeansDenoising{Colored}(h=10, template 7,
-search 21). OpenCV's exact variant is a heavily LUT-approximated
-implementation (and the colored one detours through CIELAB); a bit-exact
-port would be host-bound and serial. This is the classic NL-means
-formulation instead — per-pixel weighted average over a 21x21 search
-window, weights from 7x7 patch L2 distances — which matches OpenCV's
-output closely in effect (noise suppressed, edges kept) and is fully
-vectorized on device: one ``lax.scan`` over the 441 search offsets with a
-separable box filter per step. Documented approximation; the tolerance
-tests assert denoising behavior rather than bit equality.
+The reference calls ``cv2.fastNlMeansDenoising{Colored}(h=10, template 7,
+search 21)``. Black-box probing of cv2 on this host pinned down its exact
+semantics, and this implementation reproduces them:
+
+- **Grayscale / per-group core** (:func:`nl_means`): weights
+  ``exp(-(patch_ssd / (template^2 * channels)) / h^2)`` over the 21x21
+  search window (center included), reflect-101 borders, and a
+  round-half-up weighted average. In float64 this is bit-identical to
+  ``cv2.fastNlMeansDenoising`` on every image probed (cv2's fixed-point
+  weight LUT and its ``>> 6`` distance quantization land inside float
+  rounding); the device runs float32, which the golden tests bound at
+  <= 1 gray level.
+- **Colored** (:func:`nl_means_colored`): cv2 detours through the
+  LINEAR-variant CIELAB (``COLOR_LBGR2Lab`` — no sRGB gamma;
+  denoising.cpp), denoises L alone with ``h`` and the (a, b) pair
+  jointly (2-channel patch distance) with ``h_color``, then converts
+  back. Both conversions come from ops/colorspace.py (forward bit-exact,
+  backward <= 1 level). The channel-order quirk of the reference —
+  an RGB array fed to the BGR-assuming cv2 API (tools.py:582-584) — is
+  reproduced by passing the image through unchanged.
+
+TPU-first: one ``lax.scan`` over the 441 search offsets with a separable
+box filter per step; everything stays on device.
 """
 
 from __future__ import annotations
@@ -21,7 +34,8 @@ import numpy as np
 
 def nl_means(image: jnp.ndarray, h: float = 10.0, template: int = 7,
              search: int = 21) -> jnp.ndarray:
-    """uint8 [H, W] or [H, W, C] → uint8 denoised."""
+    """uint8 [H, W] or [H, W, C] → uint8 denoised (joint C-channel
+    distance, matching cv2's multi-channel fastNlMeansDenoising)."""
     squeeze = image.ndim == 2
     img = image[..., None] if squeeze else image
     height, width, channels = img.shape
@@ -40,7 +54,7 @@ def nl_means(image: jnp.ndarray, h: float = 10.0, template: int = 7,
         np.arange(search), np.arange(search), indexing="ij"),
         axis=-1).reshape(-1, 2).astype(np.int32)
 
-    # cv2 weight normalization: exp(-sum(d^2) / (h^2 * templ^2 * channels)).
+    # cv2 weight normalization: exp(-ssd / (template^2 * channels * h^2)).
     norm = jnp.float32(1.0 / (h * h))
 
     def body(carry, offset):
@@ -64,21 +78,24 @@ def nl_means(image: jnp.ndarray, h: float = 10.0, template: int = 7,
             jnp.zeros((height, width), jnp.float32))
     (acc, weight_sum), _ = jax.lax.scan(body, init, jnp.asarray(offsets))
     out = acc / weight_sum[..., None]
-    out_u8 = jnp.clip(jnp.rint(out), 0, 255).astype(jnp.uint8)
+    # cv2 rounds half UP (estimation + weights_sum/2) / weights_sum.
+    out_u8 = jnp.clip(jnp.floor(out + 0.5), 0, 255).astype(jnp.uint8)
     return out_u8[..., 0] if squeeze else out_u8
 
 
 def nl_means_colored(rgb: jnp.ndarray, h: float = 10.0,
                      h_color: float = 10.0, template: int = 7,
                      search: int = 21) -> jnp.ndarray:
-    """cv2.fastNlMeansDenoisingColored structure (tools.py:584): convert
-    to CIELAB (8-bit scale), denoise L alone with ``h`` and the (a, b)
-    pair jointly with ``h_color``, convert back."""
-    from handwritten_ocr_tpu.ops.colorspace import lab_to_rgb, rgb_to_lab
-    lab = rgb_to_lab(rgb)
-    lab_u8 = jnp.clip(jnp.rint(lab), 0, 255).astype(jnp.uint8)
+    """cv2.fastNlMeansDenoisingColored semantics (tools.py:584): convert
+    via the LINEAR Lab variant (COLOR_LBGR2Lab), denoise L alone with
+    ``h`` and the (a, b) pair jointly with ``h_color``, convert back.
+    The input passes through in the caller's channel order, reproducing
+    the reference's RGB-into-BGR-API quirk exactly."""
+    from handwritten_ocr_tpu.ops.colorspace import (
+        lab_u8_to_linear_bgr, linear_bgr_to_lab_u8)
+    lab_u8 = linear_bgr_to_lab_u8(rgb)
     lum = nl_means(lab_u8[..., 0], h=h, template=template, search=search)
     chroma = nl_means(lab_u8[..., 1:], h=h_color, template=template,
                       search=search)
     merged = jnp.concatenate([lum[..., None], chroma], axis=-1)
-    return lab_to_rgb(merged.astype(jnp.float32))
+    return lab_u8_to_linear_bgr(merged)

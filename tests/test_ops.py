@@ -156,26 +156,67 @@ def test_deskew_end_to_end_matches_cv2_reference():
     assert (diff > 1).mean() < 1e-3
 
 
-# ── denoise (behavioral) ────────────────────────────────────────────
+# ── denoise (golden vs cv2) ─────────────────────────────────────────
+# Probing (see ops/denoise.py) showed the exp-weight formulation matches
+# cv2's fixed-point LUT bit-for-bit in float64; on device it runs float32,
+# so the golden bounds allow the f32 rounding residue.
 
-def test_nl_means_reduces_noise_keeps_edges():
+def test_nl_means_gray_matches_cv2():
     rng = np.random.default_rng(7)
-    clean = np.full((48, 64), 80, np.uint8)
-    clean[:, 32:] = 180  # step edge
-    noisy = np.clip(clean.astype(float) + rng.normal(0, 12, clean.shape),
-                    0, 255).astype(np.uint8)
-    out = np.asarray(nl_means(jnp.asarray(noisy)))
-    # Noise in flat regions shrinks substantially...
-    assert out[:, :28].std() < noisy[:, :28].std() * 0.5
-    assert out[:, 36:].std() < noisy[:, 36:].std() * 0.5
-    # ...while the edge magnitude survives.
-    assert abs(float(out[:, 36:].mean()) - float(out[:, :28].mean())) > 80
+    base = np.clip(rng.normal(220, 12, (48, 56)), 0, 255).astype(np.uint8)
+    ref = cv2.fastNlMeansDenoising(base, None, 10, 7, 21)
+    got = np.asarray(nl_means(jnp.asarray(base)))
+    diff = np.abs(got.astype(int) - ref.astype(int))
+    assert diff.max() <= 1
+    assert (diff == 0).mean() > 0.99
 
 
-def test_nl_means_color_shape():
-    img = noise_img((32, 40, 3), seed=8)
-    out = np.asarray(nl_means(jnp.asarray(img)))
-    assert out.shape == img.shape and out.dtype == np.uint8
+def test_nl_means_colored_matches_cv2():
+    """Full colored path vs cv2, called exactly like the reference
+    (tools.py:582-584: RGB array into the BGR-assuming API).
+
+    Structure is exact: with cv2's own Lab round-trip substituted in,
+    our NL-means core reproduces cv2's output to <= 1 level. End to end,
+    the <= 1-level bias of our float inverse Lab (cv2's 8U inverse runs
+    through its private interpolation tables) stacks with the core's f32
+    rounding to <= 3 levels — a near-uniform brightness offset, inside
+    the transcription-invisible band (see scripts/transform_cer_ab.py)."""
+    rng = np.random.default_rng(8)
+    base = np.clip(rng.normal(215, 14, (40, 48)), 0, 255)
+    rgb = np.stack([np.clip(base + rng.normal(0, 7, base.shape), 0, 255)
+                    for _ in range(3)], -1).astype(np.uint8)
+    from handwritten_ocr_tpu.ops.denoise import nl_means_colored
+    ref = cv2.fastNlMeansDenoisingColored(rgb, None, 10, 10, 7, 21)
+
+    # (a) core vs cv2 inside cv2's own Lab round-trip: a rare single-level
+    # f32 flip in denoised L maps through the conversion's ~1.2 slope.
+    lab_cv = cv2.cvtColor(rgb, cv2.COLOR_LBGR2Lab)
+    lum = np.asarray(nl_means(jnp.asarray(lab_cv[..., 0])))
+    chroma = np.asarray(nl_means(jnp.asarray(lab_cv[..., 1:])))
+    merged = np.concatenate([lum[..., None], chroma], -1)
+    via_cv_lab = cv2.cvtColor(merged, cv2.COLOR_Lab2LBGR)
+    core_diff = np.abs(via_cv_lab.astype(int) - ref.astype(int))
+    assert core_diff.max() <= 2
+    assert (core_diff == 0).mean() > 0.98
+
+    # (b) fully device-side path: bias-bounded.
+    got = np.asarray(nl_means_colored(jnp.asarray(rgb)))
+    diff = np.abs(got.astype(int) - ref.astype(int))
+    assert diff.max() <= 3
+    assert diff.mean() <= 1.2
+
+
+def test_lab_conversions_match_cv2():
+    from handwritten_ocr_tpu.ops.colorspace import (
+        lab_u8_to_linear_bgr, linear_bgr_to_lab_u8)
+    sample = np.random.default_rng(9).integers(
+        0, 256, (64, 64, 3), dtype=np.uint8)
+    ref = cv2.cvtColor(sample, cv2.COLOR_LBGR2Lab)
+    got = np.asarray(linear_bgr_to_lab_u8(jnp.asarray(sample)))
+    np.testing.assert_array_equal(got, ref)          # bit-exact forward
+    ref_back = cv2.cvtColor(sample, cv2.COLOR_Lab2LBGR)
+    got_back = np.asarray(lab_u8_to_linear_bgr(jnp.asarray(sample)))
+    assert np.abs(got_back.astype(int) - ref_back.astype(int)).max() <= 1
 
 
 # ── remove_lines (behavioral) ───────────────────────────────────────
