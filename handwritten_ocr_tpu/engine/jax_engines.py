@@ -356,8 +356,12 @@ class JaxReasoningBackend:
         batcher = self._ensure_batcher(longest + max_tokens)
         stream = self._stream_printer() if self.stream and len(encoded) == 1 \
             else None
+        # Prompt-lookup speculation: agent outputs copy their prompts
+        # heavily (the editor returns the WHOLE corrected page, the
+        # arbitrator one of the versions verbatim), so drafting from the
+        # prompt verifies many tokens per dispatch, greedy-identical.
         requests = [GenRequest(np.asarray(ids, np.int32), max_tokens,
-                               on_tokens=stream)
+                               on_tokens=stream, speculate=True)
                     for ids in encoded]
         token_lists = batcher.run(requests)
         return [self.tokenizer.decode(tokens) for tokens in token_lists]
@@ -392,7 +396,11 @@ class JaxReasoningBackend:
         from handwritten_ocr_tpu.engine.serving import GenRequest
         longest = max(len(ids) for ids in encoded)
         batcher = self._ensure_batcher(longest + max_tokens)
-        requests = [GenRequest(np.asarray(ids, np.int32), max_tokens)
+        # speculate: string value spans (corrected_text, segment quotes)
+        # draft from the prompt via n-gram lookup — the editor copies its
+        # input almost verbatim, so verify rounds accept whole windows.
+        requests = [GenRequest(np.asarray(ids, np.int32), max_tokens,
+                               speculate=True)
                     for ids in encoded]
         outcomes = batcher.run_guided(requests, json_schema, self.tokenizer)
         return [(_json.dumps(obj) if obj is not None and complete else None)

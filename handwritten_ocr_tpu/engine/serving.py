@@ -75,6 +75,13 @@ class GenRequest:
     # Optional pre-spliced prompt embeddings [T, D] (VL vision splice);
     # None = embedding-table lookup of prompt_ids.
     embeds: jax.Array | None = None
+    # Self-speculative n-gram drafting (prompt-lookup decoding): draft the
+    # next tokens from the last place the current suffix n-gram appeared
+    # in (prompt + generated), verify them all in ONE forward, accept the
+    # longest greedy-matching prefix — bit-identical to plain greedy.
+    # Pays off hugely for the editor/arbitrator agents, whose outputs
+    # largely copy their prompts.
+    speculate: bool = False
     # Filled by the batcher:
     tokens: list[int] = dataclasses.field(default_factory=list)
     done: bool = False
@@ -84,6 +91,27 @@ class GenRequest:
         self.done = done
         if self.on_tokens is not None and (new_tokens or done):
             self.on_tokens(new_tokens, done)
+
+
+def _ngram_draft(context: np.ndarray, k: int, max_n: int = 3,
+                 min_n: int = 2) -> np.ndarray:
+    """Prompt-lookup draft: continuation after the LAST earlier occurrence
+    of the current suffix n-gram (longest n first). Returns <= k tokens
+    (possibly none). Pure host-side numpy — no model, no device."""
+    length = len(context)
+    for n in range(max_n, min_n - 1, -1):
+        if length < n + 1:
+            continue
+        suffix = context[length - n:]
+        windows = np.lib.stride_tricks.sliding_window_view(
+            context[:length - 1], n)
+        hits = np.nonzero((windows == suffix).all(axis=1))[0]
+        if len(hits):
+            i = int(hits[-1])
+            cont = context[i + n: i + n + k]
+            if len(cont):
+                return cont.astype(np.int32)
+    return np.empty(0, np.int32)
 
 
 class PagedProgram:
@@ -214,6 +242,55 @@ class PagedProgram:
             cond, body, (jnp.int32(0), tokens0, cache, last, auto0))
         return tokens, cache, last, auto
 
+    @functools.partial(jax.jit, static_argnums=(0, 8), donate_argnums=(2,))
+    def _verify_step(self, params, cache, last, drafts, draft_len, active,
+                     rope_delta, table_pages=None):
+        """Speculative verify: score ``[last, draft_0..draft_{K-1}]`` in
+        one forward and accept the longest prefix of drafts that greedy
+        decode would have produced — output is bit-identical to K+1
+        sequential greedy steps for the accepted prefix plus the bonus
+        token at the first divergence.
+
+        drafts [S, K] int32 (junk beyond draft_len[s]); active [S] marks
+        slots whose drafts/outputs are real. Writes k/v for all K+1
+        positions but records lengths = start + 1 + accepted — rejected
+        positions hold junk that later steps overwrite write-before-read
+        (the same invariant right-padded prefill relies on). Inactive
+        slots stay frozen (lengths unchanged; junk writes land in their
+        stale rows, whose blocks only reassign after a table push).
+
+        Returns (tokens [S, K+1], accepted [S], cache).
+        """
+        cfg = self.cfg
+        n_slots, k = drafts.shape
+        slot_ids = jnp.arange(n_slots)
+        in_tokens = jnp.concatenate([last[:, None], drafts], axis=1)
+        embeds = params["embed"]["w"][in_tokens]             # [S, K+1, D]
+        start = cache.lengths
+        pos = (start + rope_delta)[:, None] + jnp.arange(k + 1)[None, :]
+        if self.mrope:
+            pos = jnp.broadcast_to(pos[None], (3, n_slots, k + 1))
+        # Per-token validity: position i is real for i <= draft_len[s]
+        # (0 = the committed last token, 1..draft_len = drafts). Junk
+        # tail positions skip all attention page reads on the TPU kernel
+        # path; their argmax is garbage the match mask never consults.
+        token_valid = (active[:, None]
+                       & (jnp.arange(k + 1)[None, :] <= draft_len[:, None]))
+        hidden, cache = paged_forward(params, cfg, embeds, pos, cache,
+                                      slot_ids, start, start,  # len set below
+                                      attn_valid=token_valid,
+                                      table_pages=table_pages)
+        logits = lm_logits(params, cfg, hidden)              # [S, K+1, V]
+        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        match = ((nxt[:, :k] == drafts)
+                 & (jnp.arange(k)[None, :] < draft_len[:, None]))
+        accepted = jnp.cumprod(match.astype(jnp.int32), axis=1).sum(axis=1)
+        new_lengths = jnp.where(
+            active,
+            jnp.minimum(start + 1 + accepted, cache.max_context),
+            cache.lengths)
+        return nxt, accepted, cache._replace(lengths=new_lengths)
+
     @functools.partial(jax.jit, static_argnums=(0, 6, 7), donate_argnums=(2,))
     def _step_topk(self, params, cache, last, active, rope_delta, k,
                    table_pages=None):
@@ -245,6 +322,15 @@ class PagedProgram:
             with self.mesh:
                 return self._prefill_topk(*args)
         return self._prefill_topk(*args)
+
+    def verify_step(self, cache, last, drafts, draft_len, active,
+                    rope_delta, table_pages=None):
+        args = (self.params, cache, last, drafts, draft_len, active,
+                rope_delta, table_pages)
+        if self.mesh is not None:
+            with self.mesh:
+                return self._verify_step(*args)
+        return self._verify_step(*args)
 
     def step_topk(self, cache, last, rope_delta, k, active=None,
                   table_pages=None):
@@ -303,7 +389,8 @@ class ContinuousBatcher:
     def __init__(self, program: PagedProgram, *, n_slots: int = 8,
                  block_size: int = 64, n_blocks: int | None = None,
                  max_context: int = 4096, chunk: int = 16,
-                 prefill_bucket: int = 128, dtype=jnp.bfloat16):
+                 prefill_bucket: int = 128, draft_k: int = 16,
+                 dtype=jnp.bfloat16):
         cfg = program.cfg
         self.program = program
         self.n_slots = n_slots
@@ -332,6 +419,13 @@ class ContinuousBatcher:
         # dispatch attends over the narrowest power-of-two page count
         # covering all live slots instead of the full budget-cap table.
         self._host_len = np.zeros((n_slots,), np.int64)
+        # Speculative decoding state (requests opt in via GenRequest):
+        # draft_k tokens drafted per verify round; a cooldown chunk after
+        # a low-acceptance round keeps pathological inputs from paying a
+        # dispatch per token.
+        self.draft_k = draft_k
+        self._spec_cooldown = 0
+        self.spec_stats = {"rounds": 0, "drafted": 0, "accepted": 0}
 
     def _table_pages(self, slots, margin: int) -> int | None:
         """Narrowest ladder width (pages) covering ``host_len + margin``
@@ -458,6 +552,7 @@ class ContinuousBatcher:
         eos = self.program.eos_token_id
         queue = deque(requests)
         sessions: dict[int, SchemaSession] = {}
+        committed: dict[int, list[int]] = {}     # per-slot generated ids
         results: dict[int, tuple[dict | None, bool]] = {}
         stop_mask_host = _string_stop_mask(tokenizer,
                                            self.program.cfg.vocab_size, eos)
@@ -491,6 +586,7 @@ class ContinuousBatcher:
                     self._host_len[slot] = len(request.prompt_ids)
                     # Commit the first token now, establishing the loop
                     # invariant: _last committed but not yet embedded.
+                    committed[slot] = []
                     token = session.next_token(ids[row])
                     if token is None:
                         # Degenerate plan (e.g. a propertyless schema)
@@ -498,12 +594,81 @@ class ContinuousBatcher:
                         retire_slot(slot)
                     else:
                         self._last[slot] = token
+                        committed[slot].append(token)
 
         def retire_slot(slot: int) -> None:
             request = self._slot_req[slot]
             results[id(request)] = sessions.pop(slot).result()
+            committed.pop(slot, None)
             self._retire(slot)
             self._last[slot] = eos
+
+        def string_verify_round() -> bool:
+            """Speculative advance of in-span sessions: draft from
+            (prompt + committed) with the stop tokens cut OUT of the
+            draft (the device loop would have stalled there), verify in
+            one dispatch, absorb accepted + bonus exactly like a chunk
+            row. Returns False when drafts don't justify a dispatch —
+            the caller then runs the plain chunked loop. Editor
+            ``corrected_text`` spans copy the prompt almost verbatim, so
+            this typically accepts whole draft windows."""
+            if self._spec_cooldown > 0:
+                self._spec_cooldown -= 1
+                return False
+            auto_slots = [slot for slot, session in sessions.items()
+                          if session.in_string_span()
+                          and self._slot_req[slot].speculate]
+            if not auto_slots:
+                return False
+            drafts = np.zeros((self.n_slots, self.draft_k), np.int32)
+            draft_len = np.zeros((self.n_slots,), np.int32)
+            auto = np.zeros((self.n_slots,), bool)
+            good = 0
+            for slot in auto_slots:
+                cap = min(self.draft_k, sessions[slot].budget - 1)
+                if cap <= 0:
+                    continue
+                context = np.concatenate([
+                    np.asarray(self._slot_req[slot].prompt_ids, np.int32),
+                    np.asarray(committed[slot], np.int32)])
+                draft = _ngram_draft(context, cap)
+                stop_at = next((i for i, t in enumerate(draft)
+                                if stop_mask_host[t]), len(draft))
+                draft = draft[:stop_at]
+                if len(draft) >= 2:
+                    good += 1
+                    auto[slot] = True
+                    drafts[slot, :len(draft)] = draft
+                    draft_len[slot] = len(draft)
+            if good * 2 < len(auto_slots) or good == 0:
+                return False
+            tokens, accepted, self.cache = self.program.verify_step(
+                self.cache, jnp.asarray(self._last), jnp.asarray(drafts),
+                jnp.asarray(draft_len), jnp.asarray(auto),
+                jnp.asarray(self._rope_delta),
+                table_pages=self._table_pages(sessions, self.draft_k + 2))
+            tokens = np.asarray(tokens)
+            accepted = np.asarray(accepted)
+            total = live = 0
+            for slot in list(sessions):
+                if not auto[slot]:
+                    continue
+                n_acc = int(accepted[slot])
+                live += 1
+                total += n_acc
+                emitted = [int(t) for t in tokens[slot, :n_acc + 1]]
+                self._host_len[slot] += 1 + n_acc
+                self._last[slot] = emitted[-1]
+                committed[slot].extend(emitted)
+                sessions[slot].absorb_string_tokens(emitted)
+                if sessions[slot].done:
+                    retire_slot(slot)
+            self.spec_stats["rounds"] += 1
+            self.spec_stats["drafted"] += int(draft_len.sum())
+            self.spec_stats["accepted"] += total
+            if live and total / live < 2.0:
+                self._spec_cooldown = 1
+            return True
 
         def string_chunk_round() -> None:
             """Advance every session currently inside a string value span
@@ -542,6 +707,7 @@ class ContinuousBatcher:
                 # a +1 overcount that only widens the table bound, and
                 # such sessions die (budget exhausted) this round anyway.
                 self._host_len[slot] += len(row)
+                committed[slot].extend(row)
                 session.absorb_string_tokens(row)
                 if session.done:
                     retire_slot(slot)
@@ -557,13 +723,16 @@ class ContinuousBatcher:
                     raise RuntimeError(
                         "request needs more KV blocks than the pool has")
                 break
-            # Drain string value spans with the chunked device loop (one
-            # dispatch per ~chunk string tokens instead of per token).
-            # Afterwards no session is mid-span: a resolved span always
-            # refills the forced scaffold queue.
+            # Drain string value spans: prompt-lookup verify rounds when
+            # drafts are available (many tokens per dispatch on copy-
+            # heavy spans), else the chunked device loop (one dispatch
+            # per ~chunk string tokens). Afterwards no session is
+            # mid-span: a resolved span always refills the forced
+            # scaffold queue.
             while sessions and any(s.in_string_span()
                                    for s in sessions.values()):
-                string_chunk_round()
+                if not string_verify_round():
+                    string_chunk_round()
             if queue and self._free_slots:
                 admit()
             if not sessions:
@@ -586,13 +755,96 @@ class ContinuousBatcher:
                     retire_slot(slot)
                 else:
                     self._last[slot] = token
+                    committed[slot].append(token)
         return [results[id(request)] for request in requests]
+
+    # ── speculative decoding (prompt-lookup drafting) ─────────────
+    def _spec_drafts(self) -> tuple[np.ndarray, np.ndarray] | None:
+        """Build per-slot drafts for a verify round, or None when a plain
+        decode chunk is the better dispatch (nobody speculates, drafts
+        came up empty, or a low-acceptance cooldown is active)."""
+        if self._spec_cooldown > 0:
+            self._spec_cooldown -= 1
+            return None
+        speculating = [slot for slot, request in self._slot_req.items()
+                       if request.speculate]
+        if not speculating:
+            return None
+        drafts = np.zeros((self.n_slots, self.draft_k), np.int32)
+        draft_len = np.zeros((self.n_slots,), np.int32)
+        good = 0
+        for slot in speculating:
+            request = self._slot_req[slot]
+            cap = min(self.draft_k,
+                      request.max_new - len(request.tokens) - 1)
+            if cap <= 0:
+                continue
+            context = np.concatenate([
+                np.asarray(request.prompt_ids, np.int32),
+                np.asarray(request.tokens, np.int32)])
+            draft = _ngram_draft(context, cap)
+            if len(draft) >= 2:
+                good += 1
+            drafts[slot, :len(draft)] = draft
+            draft_len[slot] = len(draft)
+        # Verify only when at least half the speculating slots drafted
+        # something substantial — a verify round costs one full weight
+        # read for >= 1 token/slot, same as ONE step of a 16-step chunk.
+        if good * 2 < len(speculating) or good == 0:
+            return None
+        return drafts, draft_len
+
+    def _verify_round(self, drafts: np.ndarray, draft_len: np.ndarray) -> None:
+        """One speculative dispatch: accept longest greedy-matching draft
+        prefix + the bonus token for every live slot."""
+        eos = self.program.eos_token_id
+        active = np.zeros((self.n_slots,), bool)
+        for slot in self._slot_req:
+            active[slot] = True
+        tokens, accepted, self.cache = self.program.verify_step(
+            self.cache, jnp.asarray(self._last), jnp.asarray(drafts),
+            jnp.asarray(draft_len), jnp.asarray(active),
+            jnp.asarray(self._rope_delta),
+            table_pages=self._table_pages(self._slot_req, self.draft_k + 2))
+        tokens = np.asarray(tokens)
+        accepted = np.asarray(accepted)
+        total_acc = 0
+        n_live = 0
+        for slot in list(self._slot_req):
+            request = self._slot_req[slot]
+            n_acc = int(accepted[slot])
+            n_live += 1
+            total_acc += n_acc
+            emitted = [int(t) for t in tokens[slot, :n_acc + 1]]
+            self._host_len[slot] += 1 + n_acc      # device wrote these
+            self._last[slot] = emitted[-1]         # committed, not embedded
+            budget = request.max_new - len(request.tokens)
+            fresh: list[int] = []
+            finished = False
+            for token in emitted:
+                if token == eos:
+                    finished = True
+                    break
+                fresh.append(token)
+                if len(fresh) >= budget:
+                    finished = True
+                    break
+            request._emit(fresh, finished)
+            if finished:
+                self._retire(slot)
+        self.spec_stats["rounds"] += 1
+        self.spec_stats["drafted"] += int(draft_len.sum())
+        self.spec_stats["accepted"] += total_acc
+        if n_live and total_acc / n_live < 2.0:
+            self._spec_cooldown = 1                # next dispatch: a chunk
 
     # ── the serving loop ──────────────────────────────────────────
     def run(self, requests: Sequence[GenRequest]) -> list[list[int]]:
         """Drive all requests to completion; returns token lists in order
         (EOS excluded). Requests stream through ``on_tokens`` as chunks
-        complete."""
+        complete. Requests with ``speculate`` interleave prompt-lookup
+        verify rounds with the plain decode chunks (greedy-identical
+        output, several tokens per dispatch on copy-heavy spans)."""
         eos = self.program.eos_token_id
         queue = deque(requests)
         while queue or self._slot_req:
@@ -606,6 +858,10 @@ class ContinuousBatcher:
                         f"{self._blocks_needed(queue[0])} > "
                         f"{self.n_blocks - 1}")
                 break
+            spec = self._spec_drafts()
+            if spec is not None:
+                self._verify_round(*spec)
+                continue
             done0 = np.ones((self.n_slots,), bool)
             remaining = np.zeros((self.n_slots,), np.int32)
             for slot, request in self._slot_req.items():

@@ -163,20 +163,31 @@ def _paged_self_attention(layer: dict, cfg, x: jax.Array, cos, sin,
             return (linear(layer["o"], out.reshape(b, t, -1)),
                     k_pool, v_pool)
 
-    if t == 1 and paged_attention_mode() == "compiled":
+    if t <= 64 and paged_attention_mode() == "compiled":
+        # Decode steps (t == 1) and speculative verify blocks (t == K+1)
+        # share ONE kernel: each of the B*T query tokens becomes a
+        # virtual batch row with its own causal length ``start + i + 1``.
+        # Verify therefore scores draft position i with the bit-exact
+        # computation a plain decode step at that position would run —
+        # speculation stays greedy-invisible on the TPU kernel path, not
+        # just on the portable fallback (near-tied random-weight logits
+        # flip argmax across differing attention implementations).
         from jax.experimental.pallas.ops.tpu.paged_attention. \
             paged_attention_kernel import paged_attention
-        lengths = start + 1
+        lengths = start[:, None] + jnp.arange(t)[None, :] + 1    # [B, T]
         if attn_valid is not None:
-            lengths = jnp.where(attn_valid, lengths, 0)
+            valid = (attn_valid if attn_valid.ndim == 2
+                     else attn_valid[:, None])
+            lengths = jnp.where(valid, lengths, 0)
+        v_tables = jnp.repeat(tables, t, axis=0) if t > 1 else tables
         out = paged_attention(
-            (q[:, 0] * hd ** -0.5).astype(k_pool.dtype),
+            (q * hd ** -0.5).reshape(b * t, -1, hd).astype(k_pool.dtype),
             k_pool[layer_idx], v_pool[layer_idx],
-            lengths=lengths, page_indices=tables,
+            lengths=lengths.reshape(-1), page_indices=v_tables,
             pages_per_compute_block=_fit_pages_per_block(tables.shape[1]),
-        )                                          # [B, Hq, D]
-        out = out.astype(x.dtype)[:, None]
-        return linear(layer["o"], out.reshape(b, t, -1)), k_pool, v_pool
+        )                                          # [B*T, Hq, D]
+        out = out.astype(x.dtype).reshape(b, t, -1)
+        return linear(layer["o"], out), k_pool, v_pool
 
     keys = _gather(k_pool, layer_idx, tables)      # [B, CTX, H, D]
     values = _gather(v_pool, layer_idx, tables)

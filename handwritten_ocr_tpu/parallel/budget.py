@@ -8,8 +8,8 @@ module carries the byte arithmetic analytically (from configs, so the 32B
 plan is checkable without materializing 32 GB of weights) and produces the
 per-chip serving report asserted by ``__graft_entry__.dryrun_multichip``.
 
-Quantization layout matches models/quant.py: projections int8 + f32
-per-output-channel scale; embed / lm_head / norms / biases bf16.
+Quantization layout matches models/quant.py: projections AND lm_head
+int8 + f32 per-output-channel scale; embed / norms / biases bf16.
 """
 
 from __future__ import annotations
@@ -52,7 +52,10 @@ def qwen3_param_bytes(cfg, quant: str | None = "int8") -> int:
     total += cfg.vocab_size * h * _BF16       # embed (never quantized)
     total += h * _BF16                        # final_norm
     if not cfg.tie_word_embeddings:
-        total += h * cfg.vocab_size * _BF16   # lm_head (quality-critical)
+        # lm_head quantizes with the projections since round 2 (the
+        # decode step's largest single weight read: 545 MB bf16 -> 287 MB
+        # int8+scale at 7B scale; argmax-parity tested in test_quant).
+        total += _linear_bytes(h, cfg.vocab_size, q)
     return total
 
 
@@ -90,7 +93,7 @@ def vl_param_bytes(cfg, quant: str | None = "int8") -> int:
     text += t.vocab_size * h * _BF16                    # embed
     text += h * _BF16                                   # final_norm
     if not t.tie_word_embeddings:
-        text += h * t.vocab_size * _BF16                # lm_head
+        text += _linear_bytes(h, t.vocab_size, q)       # lm_head (int8 too)
     return vision + text
 
 

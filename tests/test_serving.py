@@ -161,6 +161,54 @@ def test_table_width_ladder(tiny):
     assert got == expected
 
 
+def test_ngram_draft():
+    from handwritten_ocr_tpu.engine.serving import _ngram_draft
+    ctx = np.array([5, 6, 7, 8, 9, 1, 2, 5, 6, 7], np.int32)
+    # suffix trigram (5,6,7) matches at position 0 -> continuation 8,9,1...
+    assert _ngram_draft(ctx, 3).tolist() == [8, 9, 1]
+    assert _ngram_draft(ctx, 8).tolist() == [8, 9, 1, 2, 5, 6, 7]
+    # no bigram/trigram recurrence -> empty
+    assert len(_ngram_draft(np.arange(10, dtype=np.int32), 4)) == 0
+    # prefers the LAST occurrence
+    ctx2 = np.array([1, 2, 3, 1, 2, 4, 1, 2], np.int32)
+    assert _ngram_draft(ctx2, 2).tolist() == [4, 1]
+
+
+def test_speculative_matches_dense(tiny):
+    """Prompt-lookup speculation is greedy-invisible: highly repetitive
+    prompts (max drafting) decode to exactly the dense tokens, and the
+    verify path actually fires."""
+    params, cfg = tiny
+    rng = np.random.default_rng(3)
+    base = rng.integers(1, 250, size=6)
+    prompts = [np.tile(base, 5).astype(np.int32),          # repetitive
+               rng.integers(1, 250, size=23).astype(np.int32),
+               np.tile(rng.integers(1, 250, size=4), 8).astype(np.int32)]
+    budgets = [20, 14, 17]
+    expected = [dense_tokens(params, cfg, p.tolist(), b)[:b]
+                for p, b in zip(prompts, budgets)]
+    batcher = make_batcher(params, cfg, max_context=192, draft_k=6)
+    requests = [GenRequest(p, b, speculate=True)
+                for p, b in zip(prompts, budgets)]
+    got = batcher.run(requests)
+    assert got == expected
+    assert batcher.spec_stats["rounds"] > 0
+
+
+def test_speculative_mixed_with_plain(tiny):
+    """Speculating and plain requests share the batch; both bit-match."""
+    params, cfg = tiny
+    rng = np.random.default_rng(4)
+    rep = np.tile(rng.integers(1, 250, size=5), 6).astype(np.int32)
+    plain = rng.integers(1, 250, size=11).astype(np.int32)
+    expected = [dense_tokens(params, cfg, rep.tolist(), 15)[:15],
+                dense_tokens(params, cfg, plain.tolist(), 15)[:15]]
+    batcher = make_batcher(params, cfg, max_context=192, draft_k=5)
+    got = batcher.run([GenRequest(rep, 15, speculate=True),
+                       GenRequest(plain, 15)])
+    assert got == expected
+
+
 def test_pool_too_small_raises(tiny):
     params, cfg = tiny
     batcher = make_batcher(params, cfg, n_blocks=3)        # 2 usable blocks
@@ -292,6 +340,43 @@ def test_guided_decode_chunk_invariance(tiny):
         CriticResult.model_validate(obj)
         outcomes.append(json.dumps(obj, sort_keys=True))
     assert outcomes[0] == outcomes[1] == outcomes[2]
+
+
+def test_guided_speculation_invariance(tiny):
+    """Schema-guided output is identical with and without prompt-lookup
+    speculation in the string value spans (greedy-invisible), and the
+    verify path actually fires on a copy-friendly prompt."""
+    import json
+    from handwritten_ocr_tpu.agents.schemas import EditorResult
+    from handwritten_ocr_tpu.engine.serving import PagedProgram
+    from handwritten_ocr_tpu.models.processor import ByteTokenizer
+
+    params, cfg = tiny
+    cfg_big = Qwen3Config(**{**{f.name: getattr(cfg, f.name)
+                                for f in cfg.__dataclass_fields__.values()},
+                             "vocab_size": 152000})
+    params = init_qwen3(jax.random.PRNGKey(13), cfg_big, dtype=jnp.float32)
+    tok = ByteTokenizer()
+    schema = EditorResult.model_json_schema()
+    # Repetitive prompt text = n-gram index hits inside string spans.
+    prompt = np.asarray(tok.encode("fix: " + "the cat sat. " * 6),
+                        np.int32)
+
+    outcomes = []
+    stats = []
+    for speculate in (False, True):
+        batcher = ContinuousBatcher(
+            PagedProgram(params, cfg_big), n_slots=2, block_size=8,
+            max_context=512, chunk=6, draft_k=6, prefill_bucket=16,
+            dtype=jnp.float32)
+        [(obj, complete)] = batcher.run_guided(
+            [GenRequest(prompt, 120, speculate=speculate)], schema, tok)
+        assert complete and obj is not None
+        EditorResult.model_validate(obj)
+        outcomes.append(json.dumps(obj, sort_keys=True))
+        stats.append(dict(batcher.spec_stats))
+    assert outcomes[0] == outcomes[1]
+    assert stats[0]["rounds"] == 0
 
 
 def test_reasoning_backend_paged_matches_dense(tiny):
