@@ -337,7 +337,7 @@ def main() -> None:
     cache_dir = Path(__file__).parent / ".jax_cache"
     try:
         jax.config.update("jax_compilation_cache_dir", str(cache_dir))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
     except Exception:
         pass
 

@@ -37,6 +37,11 @@ OLMOCR_DIR_ENV = "HOCR_OLMOCR_DIR"
 QWEN3_DIR_ENV = "HOCR_QWEN3_DIR"
 
 
+def _spec_enabled() -> bool:
+    """Prompt-lookup speculative decoding toggle (HOCR_SPEC=0 disables)."""
+    return os.environ.get("HOCR_SPEC", "1") not in ("0", "off", "false")
+
+
 class TPUPreprocessor:
     """Runs strategy chains on device; images never touch temp files.
 
@@ -111,11 +116,20 @@ class JaxOCRBackend:
         return self
 
     def _ensure_batcher(self, needed_context: int):
-        """(Re)build the serving batcher when the context bound grows."""
+        """(Re)build the serving batcher when the context bound grows.
+
+        The context bound rounds up to a power of two (floor 512): every
+        distinct bound compiles a fresh program set, so fine-grained
+        bounds would recompile on nearly every prompt-length change,
+        while the table-width ladder already keeps attention reads
+        length-bounded inside an oversized table — the only cost of
+        rounding up is pool capacity."""
         from handwritten_ocr_tpu.engine.serving import (
             ContinuousBatcher, PagedProgram)
         block = cfg_mod.SERVE_BLOCK_SIZE
-        context = -(-needed_context // block) * block
+        context = 512
+        while context < needed_context:
+            context *= 2
         if self._batcher is None or self._batcher.max_context < context:
             config = self.model.config
             program = PagedProgram(self.model.params["text"], config.text,
@@ -311,11 +325,20 @@ class JaxReasoningBackend:
         return fn(*args, **kwargs)
 
     def _ensure_batcher(self, needed_context: int):
-        """(Re)build the serving batcher when the context bound grows."""
+        """(Re)build the serving batcher when the context bound grows.
+
+        The context bound rounds up to a power of two (floor 512): every
+        distinct bound compiles a fresh program set, so fine-grained
+        bounds would recompile on nearly every prompt-length change,
+        while the table-width ladder already keeps attention reads
+        length-bounded inside an oversized table — the only cost of
+        rounding up is pool capacity."""
         from handwritten_ocr_tpu.engine.serving import (
             ContinuousBatcher, PagedProgram)
         block = cfg_mod.SERVE_BLOCK_SIZE
-        context = -(-needed_context // block) * block
+        context = 512
+        while context < needed_context:
+            context *= 2
         if self._batcher is None or self._batcher.max_context < context:
             program = PagedProgram(self.model.params, self.model.config,
                                    mesh=self.mesh)
@@ -360,8 +383,9 @@ class JaxReasoningBackend:
         # heavily (the editor returns the WHOLE corrected page, the
         # arbitrator one of the versions verbatim), so drafting from the
         # prompt verifies many tokens per dispatch, greedy-identical.
+        # HOCR_SPEC=0 disables (e.g. benchmarking plain decode).
         requests = [GenRequest(np.asarray(ids, np.int32), max_tokens,
-                               on_tokens=stream, speculate=True)
+                               on_tokens=stream, speculate=_spec_enabled())
                     for ids in encoded]
         token_lists = batcher.run(requests)
         return [self.tokenizer.decode(tokens) for tokens in token_lists]
@@ -400,7 +424,7 @@ class JaxReasoningBackend:
         # draft from the prompt via n-gram lookup — the editor copies its
         # input almost verbatim, so verify rounds accept whole windows.
         requests = [GenRequest(np.asarray(ids, np.int32), max_tokens,
-                               speculate=True)
+                               speculate=_spec_enabled())
                     for ids in encoded]
         outcomes = batcher.run_guided(requests, json_schema, self.tokenizer)
         return [(_json.dumps(obj) if obj is not None and complete else None)

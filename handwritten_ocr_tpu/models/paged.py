@@ -14,13 +14,13 @@ with the serving-grade design (BASELINE.json north star: "paged KV-cache"):
 - **Pool block 0 is a reserved trash sink**: free slots' tables are all
   zeros, so their (masked, never-read) writes land somewhere harmless.
 
-TPU-first properties: every shape is static; the pool layout is KV-head-
-major so the decode step feeds the TPU paged-attention Pallas kernel
-directly (it reads ONLY each slot's length-bounded pages from HBM — no
-gathered window copy); the per-layer pools thread through the loop as one
-array (scatter-in-place, no per-step re-stacking); the decode loop is a
-single ``lax.fori_loop`` dispatch per chunk; the pool threads through jit
-with donation so it never copies.
+TPU-first properties: every shape is static; the pool layout is page-
+major (a page is one contiguous ``[block_size, H_kv, D]`` slab) so the
+fused decode kernel (ops/paged_decode_attention) fetches a page in one
+DMA and appends a token's k/v in one copy — no XLA scatter, no gathered
+window copy, only each slot's length-bounded pages ever leave HBM; the
+decode loop is a single ``lax.while_loop`` dispatch per chunk; the pool
+threads through jit with donation so it never copies.
 
 Position ids follow models/qwen25vl/language.py: ``[B, T]`` for 1D RoPE
 (Qwen3) or ``[3, B, T]`` for M-RoPE (Qwen2.5-VL); text decode steps carry
@@ -47,14 +47,14 @@ from handwritten_ocr_tpu.models.qwen25vl.language import mrope_cos_sin
 class PagedKVCache(NamedTuple):
     """Block-pool KV state shared by all live sequences."""
 
-    k: jax.Array             # [L, H_kv, n_blocks, block_size, D]
-    v: jax.Array             # [L, H_kv, n_blocks, block_size, D]
+    k: jax.Array             # [L, n_blocks, block_size, H_kv, D]
+    v: jax.Array             # [L, n_blocks, block_size, H_kv, D]
     block_tables: jax.Array  # [S, max_blocks] int32 pool indices (0 = trash)
     lengths: jax.Array       # [S] int32 tokens cached per slot
 
     @property
     def block_size(self) -> int:
-        return self.k.shape[3]
+        return self.k.shape[2]
 
     @property
     def max_context(self) -> int:
@@ -64,7 +64,10 @@ class PagedKVCache(NamedTuple):
     def zeros(cls, num_layers: int, n_blocks: int, block_size: int,
               n_slots: int, max_blocks: int, num_kv_heads: int,
               head_dim: int, dtype=jnp.bfloat16) -> "PagedKVCache":
-        shape = (num_layers, num_kv_heads, n_blocks, block_size, head_dim)
+        # Page-major layout: one page is a contiguous [BS, H_kv, D] slab,
+        # so the decode kernel fetches a page (all KV heads) in ONE DMA
+        # and appends a token's k/v (all heads) in one [H_kv, D] copy.
+        shape = (num_layers, n_blocks, block_size, num_kv_heads, head_dim)
         return cls(
             k=jnp.zeros(shape, dtype),
             v=jnp.zeros(shape, dtype),
@@ -76,63 +79,44 @@ class PagedKVCache(NamedTuple):
 def _write(pool: jax.Array, layer_idx: int, tables: jax.Array,
            start: jax.Array, new: jax.Array) -> jax.Array:
     """Scatter ``new [B, T, H, D]`` into layer ``layer_idx`` of the full
-    pool ``[L, H, N, BS, D]`` at positions ``start[b] + t`` of each row's
-    block table. Returns the updated full pool (in-place under jit)."""
+    pool ``[L, N, BS, H, D]`` at positions ``start[b] + t`` of each row's
+    block table. Returns the updated full pool (in-place under jit).
+    Used by the prefill and portable paths; the fused decode kernel
+    appends via in-kernel DMA instead."""
     b, t, h, d = new.shape
-    block_size = pool.shape[3]
+    block_size = pool.shape[2]
     pos = start[:, None] + jnp.arange(t)[None, :]                # [B, T]
     pos = jnp.minimum(pos, tables.shape[1] * block_size - 1)
     blocks = jnp.take_along_axis(tables, pos // block_size, axis=1)
     flat = new.reshape(b * t, h, d).astype(pool.dtype)           # [BT, H, D]
-    return pool.at[layer_idx, :, blocks.reshape(-1),
+    return pool.at[layer_idx, blocks.reshape(-1),
                    (pos % block_size).reshape(-1)].set(flat)
 
 
 def _gather(pool: jax.Array, layer_idx: int, tables: jax.Array) -> jax.Array:
     """Materialize one layer's cache window for the given rows (portable
     fallback path): [B, max_ctx, H, D]."""
-    g = pool[layer_idx][:, tables]                 # [H, B, MB, BS, D]
-    h, b = g.shape[0], g.shape[1]
-    return g.transpose(1, 2, 3, 0, 4).reshape(b, -1, h, g.shape[-1])
-
-
-def _fit_pages_per_block(max_blocks: int, preferred: int | None = None) -> int:
-    """Pages per kernel compute block. In-situ sweep on v5e (7B int8,
-    batch 8, 45-page tables): per-instance overhead dominates early-
-    termination savings, so the LARGEST block wins decisively
-    (pcb 5/9/15 -> 21 ms/step, pcb 45 -> 14.5 ms). Policy: largest
-    divisor of the table width <= 64 (VMEM bound: 64 pages x 64 tok x
-    128 dim x bf16 x k,v x double-buffer ~ 4 MB). HOCR_PAGED_PCB
-    overrides for tuning."""
-    import os
-    env = os.environ.get("HOCR_PAGED_PCB")
-    preferred = int(env) if env else (preferred or 64)
-    for candidate in range(min(preferred, max_blocks), 0, -1):
-        if max_blocks % candidate == 0:
-            return candidate
-    return 1
+    g = pool[layer_idx][tables]                    # [B, MB, BS, H, D]
+    b = g.shape[0]
+    return g.reshape(b, -1, g.shape[-2], g.shape[-1])
 
 
 def _paged_self_attention(layer: dict, cfg, x: jax.Array, cos, sin,
                           layer_idx: int, k_pool, v_pool,
                           tables: jax.Array, start: jax.Array,
-                          fresh: bool, attn_valid: jax.Array | None = None):
+                          n_valid: jax.Array, fresh: bool):
     """One attention layer over the paged pool.
 
     x: [B, T, D] current tokens (prompt for prefill, single step for
-    decode); start[b] = tokens already cached for row b. Writes the new
-    k/v into the pool first, then attends: fresh prefill (start == 0)
-    attends only to itself, so it takes the Pallas flash kernel straight
-    on the current k/v; the T==1 decode step uses the TPU paged-attention
-    kernel (length-bounded page reads); CPU falls back to gather +
-    causal-by-absolute-position mask.
-
-    attn_valid (optional bool [B]): rows whose attention output will
-    actually be consumed. The TPU kernel skips length-0 rows entirely
-    (no page DMAs, no compute), so invalid rows — retired slots waiting
-    for re-admission, frozen slots in guided decode — are given length 0
-    and pay zero HBM bandwidth. Their output is garbage the caller
-    already discards (``where(done, eos, ...)``).
+    decode); start[b] = tokens already cached for row b; n_valid[b] = how
+    many of this call's T tokens are real for row b (0 = skip the row
+    entirely). Fresh prefill (start == 0) attends only to itself, so it
+    takes the Pallas flash kernel straight on the current k/v; decode-
+    shaped calls (T <= 64) run the fused append+attention kernel
+    (ops/paged_decode_attention: in-kernel k/v append replacing the XLA
+    scatter, length-bounded double-buffered page DMAs, zero cost for
+    n_valid == 0 rows); CPU falls back to scatter + gather + causal-by-
+    absolute-position mask.
     """
     b, t, _ = x.shape
     hd = cfg.head_dim
@@ -144,51 +128,38 @@ def _paged_self_attention(layer: dict, cfg, x: jax.Array, cos, sin,
         k = rms_norm(layer["k_norm"], k, cfg.rms_norm_eps)
     q, k = apply_rope(q, k, cos[:, :, None, :], sin[:, :, None, :])
 
-    k_pool = _write(k_pool, layer_idx, tables, start, k)
-    v_pool = _write(v_pool, layer_idx, tables, start, v)
-
     from handwritten_ocr_tpu.ops.dispatch import (
         flash_mode, paged_attention_mode)
-    if fresh and t > 1:
-        mode = flash_mode()
-        if mode != "off":
-            # Prefill fast path: a fresh slot attends only to its own
-            # prompt — causal flash over the current tokens (right-padded
-            # garbage rows self-attend harmlessly; their outputs are
-            # never read).
-            from handwritten_ocr_tpu.ops.flash_attention import (
-                flash_attention)
-            out = flash_attention(q, k, v, causal=True, scale=hd ** -0.5,
-                                  interpret=(mode == "interpret"))
-            return (linear(layer["o"], out.reshape(b, t, -1)),
-                    k_pool, v_pool)
+    if fresh and t > 1 and flash_mode() != "off":
+        # Prefill fast path: a fresh slot attends only to its own
+        # prompt — causal flash over the current tokens (right-padded
+        # garbage rows self-attend harmlessly; their outputs are
+        # never read).
+        from handwritten_ocr_tpu.ops.flash_attention import flash_attention
+        k_pool = _write(k_pool, layer_idx, tables, start, k)
+        v_pool = _write(v_pool, layer_idx, tables, start, v)
+        out = flash_attention(q, k, v, causal=True, scale=hd ** -0.5,
+                              interpret=(flash_mode() == "interpret"))
+        return (linear(layer["o"], out.reshape(b, t, -1)),
+                k_pool, v_pool)
 
-    if t <= 64 and paged_attention_mode() == "compiled":
-        # Decode steps (t == 1) and speculative verify blocks (t == K+1)
-        # share ONE kernel: each of the B*T query tokens becomes a
-        # virtual batch row with its own causal length ``start + i + 1``.
-        # Verify therefore scores draft position i with the bit-exact
-        # computation a plain decode step at that position would run —
-        # speculation stays greedy-invisible on the TPU kernel path, not
-        # just on the portable fallback (near-tied random-weight logits
-        # flip argmax across differing attention implementations).
-        from jax.experimental.pallas.ops.tpu.paged_attention. \
-            paged_attention_kernel import paged_attention
-        lengths = start[:, None] + jnp.arange(t)[None, :] + 1    # [B, T]
-        if attn_valid is not None:
-            valid = (attn_valid if attn_valid.ndim == 2
-                     else attn_valid[:, None])
-            lengths = jnp.where(valid, lengths, 0)
-        v_tables = jnp.repeat(tables, t, axis=0) if t > 1 else tables
-        out = paged_attention(
-            (q * hd ** -0.5).reshape(b * t, -1, hd).astype(k_pool.dtype),
-            k_pool[layer_idx], v_pool[layer_idx],
-            lengths=lengths.reshape(-1), page_indices=v_tables,
-            pages_per_compute_block=_fit_pages_per_block(tables.shape[1]),
-        )                                          # [B*T, Hq, D]
-        out = out.astype(x.dtype).reshape(b, t, -1)
-        return linear(layer["o"], out), k_pool, v_pool
+    paged_mode = paged_attention_mode()
+    if t <= 64 and paged_mode != "off":
+        # Decode steps (t == 1), guided string chunks, speculative verify
+        # blocks (t == K+1), and tiny prefills share the fused kernel;
+        # query token i attends through absolute position start + i.
+        from handwritten_ocr_tpu.ops.paged_decode_attention import (
+            paged_append_attention)
+        out, k_pool, v_pool = paged_append_attention(
+            q, k.astype(k_pool.dtype), v.astype(v_pool.dtype),
+            k_pool, v_pool, tables, start, n_valid,
+            layer=layer_idx, scale=hd ** -0.5,
+            interpret=(paged_mode == "interpret"))
+        return (linear(layer["o"], out.astype(x.dtype).reshape(b, t, -1)),
+                k_pool, v_pool)
 
+    k_pool = _write(k_pool, layer_idx, tables, start, k)
+    v_pool = _write(v_pool, layer_idx, tables, start, v)
     keys = _gather(k_pool, layer_idx, tables)      # [B, CTX, H, D]
     values = _gather(v_pool, layer_idx, tables)
     ctx = keys.shape[1]
@@ -216,28 +187,35 @@ def paged_forward(params: dict, cfg, embeds: jax.Array,
     overwrites position-by-position before ever attending to them), or
     ``start + 1`` for decode steps. ``fresh`` (static) asserts start == 0
     for every row, unlocking the flash-attention prefill path.
-    attn_valid (optional bool [B]): rows whose output is consumed; rows
-    marked False skip all attention page reads on the TPU kernel path
-    (see _paged_self_attention).
+    attn_valid (optional): bool [B] — rows whose output is consumed — or
+    bool [B, T] marking a per-row PREFIX of real tokens (speculative
+    verify). Invalid rows/tokens skip their append and every attention
+    page read on the fused TPU kernel path (see _paged_self_attention).
     table_pages (optional, static): attend over only the first N pages of
-    each slot's block table. The paged-attention kernel reads whole
-    compute blocks, so table width — not live length — sets its HBM
-    traffic; the serving loop passes the narrowest power-of-two width
-    covering every live slot's length (plus the chunk), so early decode
-    steps against a 2,048-token budget table read ~4x fewer KV bytes.
+    each slot's block table — bounds the fused kernel's page loop and the
+    fallback's gather width; the serving loop passes the narrowest
+    power-of-two width covering every live slot's length plus the chunk.
     Callers must guarantee every VALID row's length (and every write
     position) stays below ``table_pages * block_size``.
     """
     tables = cache.block_tables[slot_ids]          # [B, max_blocks]
     if table_pages is not None and table_pages < tables.shape[1]:
         tables = tables[:, :table_pages]
+    # Real tokens per row this call: the fused kernel appends exactly
+    # these and bounds each query's causal extent at start + i.
+    if attn_valid is None:
+        n_valid = new_len - start                  # prefill: true lengths
+    elif attn_valid.ndim == 2:
+        n_valid = attn_valid.sum(axis=1).astype(jnp.int32)
+    else:
+        n_valid = jnp.where(attn_valid, new_len - start, 0)
     cos, sin = mrope_cos_sin(cfg, position_ids)
     x = embeds
     k_pool, v_pool = cache.k, cache.v
     for idx, layer in enumerate(params["layers"]):
         attn_out, k_pool, v_pool = _paged_self_attention(
             layer["attn"], cfg, rms_norm(layer["ln1"], x, cfg.rms_norm_eps),
-            cos, sin, idx, k_pool, v_pool, tables, start, fresh, attn_valid)
+            cos, sin, idx, k_pool, v_pool, tables, start, n_valid, fresh)
         x = x + attn_out
         x = x + swiglu_mlp(layer["mlp"],
                            rms_norm(layer["ln2"], x, cfg.rms_norm_eps))

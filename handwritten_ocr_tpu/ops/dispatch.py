@@ -36,13 +36,13 @@ def int8_kernel_mode() -> str:
 
 
 def paged_attention_mode() -> str:
-    """Dispatch mode for the TPU paged-attention decode kernel
-    (jax.experimental.pallas.ops.tpu.paged_attention): reads only the
-    length-bounded pages of each slot straight from the block pool —
-    no gathered window copy. No interpreter path; CPU uses the jnp
-    gather fallback."""
-    mode = _mode("HOCR_TPU_PAGED")
-    return "off" if mode == "interpret" else mode
+    """Dispatch mode for the fused append+attention decode kernel
+    (ops/paged_decode_attention): appends the step's k/v into the pool
+    by in-kernel DMA and reads only the length-bounded pages of each
+    slot — no XLA scatter, no gathered window copy.
+    ``HOCR_TPU_PAGED=interpret`` runs it through the Pallas interpreter
+    on CPU (parity tests); by default CPU uses the jnp gather fallback."""
+    return _mode("HOCR_TPU_PAGED")
 
 
 def _mode(env_name: str) -> str:

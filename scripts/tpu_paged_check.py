@@ -66,48 +66,75 @@ def compare(dtype_name: str) -> int:
     return matches
 
 
-def direct_numeric_bound() -> float:
-    """Kernel output vs fp32 gather+softmax reference; returns max |diff|."""
+def direct_numeric_bound(t: int = 1) -> float:
+    """Fused append+attention kernel (compiled) vs an fp32 append +
+    gather+softmax reference; returns max |diff| over valid outputs.
+    Also asserts the in-kernel appends landed bit-exactly."""
+    import jax
     import jax.numpy as jnp
-    from jax.experimental.pallas.ops.tpu.paged_attention. \
-        paged_attention_kernel import paged_attention
+    from handwritten_ocr_tpu.ops.paged_decode_attention import (
+        paged_append_attention)
 
     rng = np.random.default_rng(0)
-    h, n, bs, d, s, mb, hq = 4, 33, 16, 128, 5, 8, 8
-    k_pool = jnp.asarray(rng.standard_normal((h, n, bs, d)), jnp.bfloat16)
-    v_pool = jnp.asarray(rng.standard_normal((h, n, bs, d)), jnp.bfloat16)
-    tables = jnp.asarray(rng.integers(1, n, (s, mb)), jnp.int32)
-    lengths = jnp.asarray([7, 30, 64, 100, 128], jnp.int32)
-    q = jnp.asarray(rng.standard_normal((s, hq, d)), jnp.bfloat16)
+    layers, n, bs, d, s, mb, hkv, hq = 2, 41, 16, 128, 5, 8, 4, 8
+    layer = 1
+    k_pool = rng.standard_normal((layers, n, bs, hkv, d)).astype(np.float32)
+    v_pool = rng.standard_normal((layers, n, bs, hkv, d)).astype(np.float32)
+    blocks = rng.permutation(np.arange(1, n))[: s * mb].reshape(s, mb)
+    tables = blocks.astype(np.int32)
+    start = np.asarray([6, 29, 63, 99, 127], np.int32)
+    n_valid = np.asarray([t, t, max(t - 1, 0), t, 0], np.int32)
+    q = rng.standard_normal((s, t, hq, d)).astype(np.float32)
+    k_new = rng.standard_normal((s, t, hkv, d)).astype(np.float32)
+    v_new = rng.standard_normal((s, t, hkv, d)).astype(np.float32)
     scale = d ** -0.5
-    got = np.asarray(paged_attention(
-        (q * scale).astype(jnp.bfloat16), k_pool, v_pool, lengths=lengths,
-        page_indices=tables, pages_per_compute_block=4), np.float32)
 
-    k_np = np.asarray(k_pool, np.float32)
-    v_np = np.asarray(v_pool, np.float32)
-    t_np, l_np, q_np = (np.asarray(tables), np.asarray(lengths),
-                        np.asarray(q, np.float32))
-    worst = 0.0
-    group = hq // h
+    got, k2, v2 = paged_append_attention(
+        jnp.asarray(q, jnp.bfloat16), jnp.asarray(k_new, jnp.bfloat16),
+        jnp.asarray(v_new, jnp.bfloat16),
+        jnp.asarray(k_pool, jnp.bfloat16), jnp.asarray(v_pool, jnp.bfloat16),
+        jnp.asarray(tables), jnp.asarray(start), jnp.asarray(n_valid),
+        layer=layer, scale=scale)
+    got = np.asarray(got, np.float32)
+    k2, v2 = np.asarray(k2, np.float32), np.asarray(v2, np.float32)
+
+    kp = np.asarray(jnp.asarray(k_pool, jnp.bfloat16), np.float32).copy()
+    vp = np.asarray(jnp.asarray(v_pool, jnp.bfloat16), np.float32).copy()
+    kn = np.asarray(jnp.asarray(k_new, jnp.bfloat16), np.float32)
+    vn = np.asarray(jnp.asarray(v_new, jnp.bfloat16), np.float32)
+    qn = np.asarray(jnp.asarray(q, jnp.bfloat16), np.float32)
     for row in range(s):
-        keys = k_np[:, t_np[row]].reshape(h, mb * bs, d)
-        vals = v_np[:, t_np[row]].reshape(h, mb * bs, d)
-        for head in range(hq):
-            kv = head // group
-            scores = keys[kv] @ q_np[row, head] * scale
-            scores[np.arange(mb * bs) >= l_np[row]] = -1e30
-            weights = np.exp(scores - scores.max())
-            weights /= weights.sum()
-            worst = max(worst, float(np.abs(
-                weights @ vals[kv] - got[row, head]).max()))
+        for i in range(int(n_valid[row])):
+            pos = int(start[row]) + i
+            kp[layer, tables[row, pos // bs], pos % bs] = kn[row, i]
+            vp[layer, tables[row, pos // bs], pos % bs] = vn[row, i]
+    assert np.array_equal(k2, kp) and np.array_equal(v2, vp), \
+        "in-kernel append diverged from reference scatter"
+
+    worst = 0.0
+    group = hq // hkv
+    for row in range(s):
+        keys = kp[layer][tables[row]].reshape(mb * bs, hkv, d)
+        vals = vp[layer][tables[row]].reshape(mb * bs, hkv, d)
+        for tok in range(int(n_valid[row])):
+            for head in range(hq):
+                kv = head // group
+                scores = keys[:, kv] @ qn[row, tok, head] * scale
+                scores[np.arange(mb * bs) > int(start[row]) + tok] = -1e30
+                weights = np.exp(scores - scores.max())
+                weights /= weights.sum()
+                worst = max(worst, float(np.abs(
+                    weights @ vals[:, kv] - got[row, tok, head]).max()))
     return worst
 
 
 def main() -> None:
-    bound = direct_numeric_bound()
-    print(f"direct kernel-vs-fp32-reference max|diff|: {bound:.5f}")
-    assert bound < 0.02, f"kernel numeric bound blown: {bound} (indexing bug?)"
+    for t in (1, 9):
+        bound = direct_numeric_bound(t)
+        print(f"direct kernel-vs-fp32-reference max|diff| (T={t}): "
+              f"{bound:.5f}")
+        assert bound < 0.02, \
+            f"kernel numeric bound blown: {bound} (indexing bug?)"
     compare("f32")
     compare("bf16")
     print("OK: kernel within bf16 accumulation noise of the fp32 reference")

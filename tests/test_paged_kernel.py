@@ -1,0 +1,124 @@
+"""Parity tests for the fused append+attention decode kernel.
+
+The kernel (ops/paged_decode_attention) runs through the Pallas
+interpreter on CPU against a straight numpy reference: scatter-append
+then full-window masked softmax. ``jax_default_matmul_precision=highest``
+makes f32 matmuls exact, so any indexing/masking/DMA-ordering bug shows
+as an O(1) error against a ~1e-5 tolerance.
+
+Covers the shapes the serving loop actually issues (paged.py routes all
+t <= 64 non-flash forwards here): plain decode steps (T=1), speculative
+verify blocks (T=K+1, causal within the block, per-slot prefix validity),
+inactive slots (n_valid=0 — output ignored, pool untouched), and appends
+crossing page boundaries.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from handwritten_ocr_tpu.ops.paged_decode_attention import (
+    paged_append_attention)
+
+L, N, BS, HKV, D = 2, 16, 16, 2, 128
+HQ = 6
+LAYER = 1
+
+
+def reference(q, k_new, v_new, k_pool, v_pool, tables, start, n_valid):
+    """Append + gather-window masked softmax, plain numpy float64."""
+    k_pool = np.array(k_pool, np.float64)
+    v_pool = np.array(v_pool, np.float64)
+    s_, t_, hq, d = q.shape
+    g = hq // HKV
+    out = np.zeros((s_, t_, hq, d))
+    for s in range(s_):
+        for i in range(int(n_valid[s])):
+            pos = int(start[s]) + i
+            blk = int(tables[s, pos // BS])
+            k_pool[LAYER, blk, pos % BS] = k_new[s, i]
+            v_pool[LAYER, blk, pos % BS] = v_new[s, i]
+        keys = k_pool[LAYER][np.array(tables[s])].reshape(-1, HKV, d)
+        vals = v_pool[LAYER][np.array(tables[s])].reshape(-1, HKV, d)
+        for t in range(t_):
+            for h in range(hq):
+                scores = (np.array(q[s, t, h], np.float64)
+                          @ keys[:, h // g].T) * d ** -0.5
+                allowed = np.arange(keys.shape[0]) <= int(start[s]) + t
+                scores = np.where(allowed, scores, -np.inf)
+                p = np.exp(scores - scores.max())
+                p = np.where(allowed, p, 0)
+                out[s, t, h] = (p / p.sum()) @ vals[:, h // g]
+    return out, k_pool, v_pool
+
+
+@pytest.fixture(autouse=True)
+def _exact_matmuls():
+    with jax.default_matmul_precision("highest"):
+        yield
+
+
+def run_case(t, start, n_valid, seed=0):
+    rng = np.random.default_rng(seed)
+    s_ = len(start)
+    q = rng.standard_normal((s_, t, HQ, D)).astype(np.float32)
+    k_new = rng.standard_normal((s_, t, HKV, D)).astype(np.float32)
+    v_new = rng.standard_normal((s_, t, HKV, D)).astype(np.float32)
+    k_pool = rng.standard_normal((L, N, BS, HKV, D)).astype(np.float32)
+    v_pool = rng.standard_normal((L, N, BS, HKV, D)).astype(np.float32)
+    blocks = rng.permutation(np.arange(1, N))[: s_ * 3].reshape(s_, 3)
+    tables = blocks.astype(np.int32)
+    start = np.asarray(start, np.int32)
+    n_valid = np.asarray(n_valid, np.int32)
+
+    ref_out, ref_k, ref_v = reference(q, k_new, v_new, k_pool, v_pool,
+                                      tables, start, n_valid)
+    out, k2, v2 = paged_append_attention(
+        jnp.asarray(q), jnp.asarray(k_new), jnp.asarray(v_new),
+        jnp.asarray(k_pool), jnp.asarray(v_pool), jnp.asarray(tables),
+        jnp.asarray(start), jnp.asarray(n_valid),
+        layer=LAYER, scale=D ** -0.5, interpret=True)
+    out = np.asarray(out)
+    for s in range(s_):
+        nv = int(n_valid[s])
+        if nv:
+            np.testing.assert_allclose(out[s, :nv], ref_out[s, :nv],
+                                       atol=2e-5, rtol=0)
+    np.testing.assert_array_equal(np.asarray(k2), ref_k.astype(np.float32))
+    np.testing.assert_array_equal(np.asarray(v2), ref_v.astype(np.float32))
+
+
+def test_decode_step():
+    # T=1: live slots mid-page / page-boundary / fresh; one dead slot.
+    run_case(1, start=[5, 15, 0, 40], n_valid=[1, 1, 1, 0])
+
+
+def test_verify_block_causal():
+    # T=5 verify: full drafts, partial prefix, dead slot; starts placed
+    # so appends cross page boundaries (15+5 spans pages 0->1).
+    run_case(5, start=[15, 3, 30], n_valid=[5, 3, 0])
+
+
+def test_multi_page_contexts():
+    # Long contexts spanning all 3 table pages exercise the double-
+    # buffered page loop (odd/even buffer hand-off).
+    run_case(1, start=[33, 47, 20], n_valid=[1, 1, 1], seed=3)
+
+
+def test_pool_untouched_for_dead_slots():
+    rng = np.random.default_rng(7)
+    q = rng.standard_normal((2, 1, HQ, D)).astype(np.float32)
+    kn = rng.standard_normal((2, 1, HKV, D)).astype(np.float32)
+    vn = rng.standard_normal((2, 1, HKV, D)).astype(np.float32)
+    k_pool = rng.standard_normal((L, N, BS, HKV, D)).astype(np.float32)
+    v_pool = rng.standard_normal((L, N, BS, HKV, D)).astype(np.float32)
+    tables = np.array([[1, 2, 3], [4, 5, 6]], np.int32)
+    _, k2, v2 = paged_append_attention(
+        jnp.asarray(q), jnp.asarray(kn), jnp.asarray(vn),
+        jnp.asarray(k_pool), jnp.asarray(v_pool), jnp.asarray(tables),
+        jnp.asarray([3, 9], np.int32), jnp.asarray([0, 0], np.int32),
+        layer=LAYER, scale=D ** -0.5, interpret=True)
+    np.testing.assert_array_equal(np.asarray(k2), k_pool)
+    np.testing.assert_array_equal(np.asarray(v2), v_pool)
