@@ -7,8 +7,11 @@ everything here is new TPU-native capability:
     parallelism for both model families, data/FSDP batch sharding; XLA
     inserts the collectives.
   * ``batch``     — pages sharded across chips for folder workloads.
+  * ``context_parallel`` — ring attention: sequence-sharded long-context
+    prefill with KV chunks rotated over ICI via ``ppermute``.
 """
 
+from handwritten_ocr_tpu.parallel.context_parallel import ring_attention
 from handwritten_ocr_tpu.parallel.mesh import make_mesh, mesh_shape_for
 from handwritten_ocr_tpu.parallel.sharding import (
     data_sharding,
@@ -18,5 +21,5 @@ from handwritten_ocr_tpu.parallel.sharding import (
 
 __all__ = [
     "make_mesh", "mesh_shape_for",
-    "param_shardings", "data_sharding", "replicated",
+    "param_shardings", "data_sharding", "replicated", "ring_attention",
 ]
