@@ -326,7 +326,7 @@ def cer_oracle_check() -> dict:
 
 def main() -> None:
     scale = os.environ.get("HOCR_BENCH_SCALE", "7b")
-    default_pages = {"7b": 8, "3b": 16}.get(scale, 2)
+    default_pages = {"7b": 16, "3b": 16}.get(scale, 2)
     n_pages = int(os.environ.get("HOCR_BENCH_PAGES", str(default_pages)))
     budget_cap = int(os.environ.get("HOCR_BENCH_DECODE", "2048"))
     iters = int(os.environ.get("HOCR_BENCH_ITERS", "2"))

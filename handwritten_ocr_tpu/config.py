@@ -59,7 +59,12 @@ PAGES_PER_DEVICE = 1
 
 # ── Continuous-batching serving (engine/serving.py) ──────────────────
 # Fixed decode-slot count (static batch width of the serving program).
-SERVE_SLOTS = 8
+# The decode step is HBM-weight-bound, so tokens/s scales almost
+# linearly with slots until KV pool memory or step latency push back
+# (measured on v5e, 7B int8: 8 slots = 688 tok/s @ 11.6 ms, 16 = 1272
+# @ 12.6 ms, 24 = 1719 @ 14.0 ms). 16 keeps the 7B VLM + pool within
+# one 16 GB chip at the 2,048-token contract budget.
+SERVE_SLOTS = 16
 # KV block granularity in tokens; pool block 0 is the reserved trash sink.
 SERVE_BLOCK_SIZE = 64
 # Decode steps per dispatch — the admission/retirement/streaming cadence.
