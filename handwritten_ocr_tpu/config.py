@@ -66,7 +66,7 @@ PAGES_PER_DEVICE = 1
 # one 16 GB chip at the 2,048-token contract budget.
 SERVE_SLOTS = 16
 # KV block granularity in tokens; pool block 0 is the reserved trash sink.
-SERVE_BLOCK_SIZE = 64
+SERVE_BLOCK_SIZE = 128
 # Decode steps per dispatch — the admission/retirement/streaming cadence.
 SERVE_CHUNK = 16
 # Prompt lengths pad up to a multiple of this (bounds compiled prefills).

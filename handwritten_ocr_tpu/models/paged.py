@@ -114,7 +114,7 @@ def _paged_self_attention(layer: dict, cfg, x: jax.Array, cos, sin,
     takes the Pallas flash kernel straight on the current k/v; decode-
     shaped calls (T <= 64) run the fused append+attention kernel
     (ops/paged_decode_attention: in-kernel k/v append replacing the XLA
-    scatter, length-bounded double-buffered page DMAs, zero cost for
+    scatter, length-bounded pipelined page DMAs, zero cost for
     n_valid == 0 rows); CPU falls back to scatter + gather + causal-by-
     absolute-position mask.
     """

@@ -8,13 +8,13 @@ attention that the unfused path paid separately:
    scatter that cost 1.8 ms/step at 7B batch 8 (scatter serializes; the
    DMA is ~2 KB of actual traffic).
 2. **Attend**: per-slot paged flash attention over the length-bounded
-   pages with double-buffered page DMAs (one 64 KB copy per page covers
-   every KV head — the pool is page-major ``[N, BS, H_kv, D]``), online
-   softmax in fp32.
+   pages, 8 pages per compute chunk (their DMAs in flight together, one
+   contiguous copy per page covering every KV head — the pool is
+   page-major ``[N, BS, H_kv, D]``), online softmax in fp32.
 
-One grid instance per slot; the page loop is a dynamic ``fori_loop`` (no
-unrolling — ladder-width recompiles stay cheap) with the next page's DMA
-in flight while the current one computes.
+One grid instance per slot; the chunk loop is a dynamic ``fori_loop``
+(no unrolling — ladder-width recompiles stay cheap) with the next
+chunk's DMAs in flight while the current one computes.
 
 Handles every decode-shaped forward through one code path:
 - plain decode step: T = 1, ``n_valid`` 1 (live) / 0 (done slot)
@@ -45,6 +45,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 _NEG_INF = -0.7 * float(np.finfo(np.float32).max)
 
+# Tokens per compute chunk: one softmax update covers ~this many kv
+# columns (ceil'd to whole pages), with all the chunk's page DMAs in
+# flight together — amortizing the ~20 us/iteration vector-op overhead a
+# page-at-a-time loop pays at 7B serving shapes while keeping the chunk
+# buffers inside the 16 MB VMEM scoped limit.
+_CHUNK_TOKENS = 512
+
 
 def _kernel(tables_ref, start_ref, nvalid_ref,           # scalar prefetch
             q_ref, k_new_ref, v_new_ref, _k_in, _v_in,   # inputs
@@ -54,7 +61,7 @@ def _kernel(tables_ref, start_ref, nvalid_ref,           # scalar prefetch
             *, layer: int, t: int, scale: float):
     s = pl.program_id(0)
     _, n_pages_table = tables_ref.shape
-    bs = k_buf.shape[1]
+    bs = k_buf.shape[2]                     # (2, PPC, BS, Hkv, D)
     start = start_ref[s]
     nv = nvalid_ref[s]
     limit = start + nv                      # kv positions to attend over
@@ -80,50 +87,87 @@ def _kernel(tables_ref, start_ref, nvalid_ref,           # scalar prefetch
             append_copy(i, v_pool_ref, v_new_ref, av_sem).wait()
 
     # ---- paged flash attention over pages [0, ceil(limit / bs)) ----
+    # Pages group into CHUNKS of ppc pages: every chunk is one compute
+    # block (one softmax update over ppc*bs columns) fed by ppc parallel
+    # page DMAs into one contiguous buffer, double-buffered across
+    # chunks. Per-iteration vector-op overhead — not DMA bandwidth — is
+    # what dominates a page-at-a-time loop (measured ~20 us/iteration at
+    # 7B serving shapes), so amortizing it over 8 pages is the win.
     hkv, gt, d = acc_ref.shape
+    _, ppc, bs, _, _ = k_buf.shape                       # (2, PPC, BS, H, D)
+    cols_per_chunk = ppc * bs
     q = q_ref[0].astype(jnp.float32) * scale             # [Hkv, GT, D]
     n_pages = jnp.where(nv > 0, (limit + bs - 1) // bs, 0)
+    n_chunks = (n_pages + ppc - 1) // ppc
     # Query row r is token r % t; it may attend absolute cols <= start + r%t.
     row_max = start + jax.lax.broadcasted_iota(
-        jnp.int32, (hkv, gt, bs), 1) % t
+        jnp.int32, (hkv, gt, cols_per_chunk), 1) % t
 
-    def page_dma(p, buf):
-        block = tables_ref[s, p]
-        return (pltpu.make_async_copy(k_pool_ref.at[layer, block],
-                                      k_buf.at[buf], k_sems.at[buf]),
-                pltpu.make_async_copy(v_pool_ref.at[layer, block],
-                                      v_buf.at[buf], v_sems.at[buf]))
+    def chunk_copies(c, buf):
+        """(started-under-guard) DMA descriptors for chunk c's pages.
+        The table read clamps: a partial final chunk constructs (but
+        never starts) descriptors for pages past the table width."""
+        out = []
+        for i in range(ppc):
+            page = c * ppc + i
+            block = tables_ref[s, jnp.minimum(page, n_pages_table - 1)]
+            out.append((page, (
+                pltpu.make_async_copy(
+                    k_pool_ref.at[layer, block],
+                    k_buf.at[buf, i], k_sems.at[buf]),
+                pltpu.make_async_copy(
+                    v_pool_ref.at[layer, block],
+                    v_buf.at[buf, i], v_sems.at[buf]))))
+        return out
+
+    def start_chunk(c, buf):
+        for page, (dk, dv) in chunk_copies(c, buf):
+            @pl.when(page < n_pages)
+            def _go(dk=dk, dv=dv):
+                dk.start()
+                dv.start()
+
+    def wait_chunk(c, buf):
+        for page, (dk, dv) in chunk_copies(c, buf):
+            @pl.when(page < n_pages)
+            def _done(dk=dk, dv=dv):
+                dk.wait()
+                dv.wait()
 
     m_ref[...] = jnp.full_like(m_ref, _NEG_INF)
     l_ref[...] = jnp.zeros_like(l_ref)
     acc_ref[...] = jnp.zeros_like(acc_ref)
+    # Rows of a partial chunk that never load must hold FINITE data: the
+    # softmax mask zeroes their probabilities, but 0 * NaN from
+    # uninitialized VMEM would still poison the p@v accumulation. One
+    # memset before any DMA covers every never-loaded row; rows reused
+    # across chunks hold stale (finite) page data, equally harmless.
+    k_buf[...] = jnp.zeros_like(k_buf)
+    v_buf[...] = jnp.zeros_like(v_buf)
 
-    @pl.when(n_pages > 0)
-    def _start_first():
-        dk, dv = page_dma(0, 0)
-        dk.start()
-        dv.start()
+    @pl.when(n_chunks > 0)
+    def _warm():
+        start_chunk(0, 0)
 
-    def body(p, _):
-        buf = jax.lax.rem(p, 2)
+    def body(c, _):
+        buf = jax.lax.rem(c, 2)
 
-        @pl.when(p + 1 < n_pages)
+        @pl.when(c + 1 < n_chunks)
         def _prefetch_next():
-            dk, dv = page_dma(p + 1, 1 - buf)
-            dk.start()
-            dv.start()
+            start_chunk(c + 1, 1 - buf)
 
-        dk, dv = page_dma(p, buf)
-        dk.wait()
-        dv.wait()
-        k = k_buf[buf].astype(jnp.float32)               # [BS, Hkv, D]
-        v = v_buf[buf].astype(jnp.float32)
-        scores = jnp.stack([                              # [Hkv, GT, BS]
+        wait_chunk(c, buf)
+        # Unloaded pages of a partial final chunk hold stale buffer data;
+        # the col <= row_max mask (row_max < limit <= loaded extent)
+        # already excludes every such column.
+        k = k_buf[buf].astype(jnp.float32).reshape(cols_per_chunk, hkv, d)
+        v = v_buf[buf].astype(jnp.float32).reshape(cols_per_chunk, hkv, d)
+        scores = jnp.stack([                       # [Hkv, GT, PPC*BS]
             jax.lax.dot_general(q[h], k[:, h, :], (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
             for h in range(hkv)])
-        col = p * bs + jax.lax.broadcasted_iota(
-            jnp.int32, (hkv, gt, bs), 2)
+        col = c * cols_per_chunk + jax.lax.broadcasted_iota(
+            jnp.int32, (hkv, gt, cols_per_chunk), 2)
         scores = jnp.where(col <= row_max, scores, _NEG_INF)
 
         m_prev = m_ref[...]                               # [Hkv, GT, 128]
@@ -144,7 +188,7 @@ def _kernel(tables_ref, start_ref, nvalid_ref,           # scalar prefetch
         m_ref[...] = m_new
         return ()
 
-    jax.lax.fori_loop(0, n_pages, body, ())
+    jax.lax.fori_loop(0, n_chunks, body, ())
     denom = jnp.maximum(l_ref[...][..., :d], 1e-30)
     o_ref[0] = (acc_ref[...] / denom).astype(o_ref.dtype)
 
@@ -184,6 +228,8 @@ def paged_append_attention(
     if gt_pad != gt:
         qr = jnp.pad(qr, ((0, 0), (0, 0), (0, gt_pad - gt), (0, 0)))
 
+    bs = k_pool.shape[2]
+    ppc = max(1, _CHUNK_TOKENS // bs)
     kernel = functools.partial(_kernel, layer=layer, t=t, scale=scale)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -192,17 +238,18 @@ def paged_append_attention(
             pl.BlockSpec((1, hkv, gt_pad, d), lambda i, *_: (i, 0, 0, 0)),
             pl.BlockSpec((1, t, hkv, d), lambda i, *_: (i, 0, 0, 0)),
             pl.BlockSpec((1, t, hkv, d), lambda i, *_: (i, 0, 0, 0)),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
             pl.BlockSpec((1, hkv, gt_pad, d), lambda i, *_: (i, 0, 0, 0)),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2,) + k_pool.shape[2:], k_pool.dtype),  # page bufs
-            pltpu.VMEM((2,) + v_pool.shape[2:], v_pool.dtype),
+            # chunk buffers: (double-buffer, pages/chunk, BS, Hkv, D)
+            pltpu.VMEM((2, ppc) + k_pool.shape[2:], k_pool.dtype),
+            pltpu.VMEM((2, ppc) + v_pool.shape[2:], v_pool.dtype),
             pltpu.VMEM((hkv, gt_pad, 128), jnp.float32),  # running max
             pltpu.VMEM((hkv, gt_pad, 128), jnp.float32),  # running sum
             pltpu.VMEM((hkv, gt_pad, d), jnp.float32),    # accumulator
