@@ -195,7 +195,8 @@ def read_throughput_bench(model, cfg, pages, budgets, iters, quant):
         block_size=cfg_mod.SERVE_BLOCK_SIZE,
         max_context=max_ctx, chunk=cfg_mod.SERVE_CHUNK,
         prefill_bucket=cfg_mod.SERVE_PREFILL_BUCKET,
-        dtype=model.params["text"]["embed"]["w"].dtype)
+        dtype=model.params["text"]["embed"]["w"].dtype,
+        kv_quant=cfg_mod.SERVE_KV_INT8 and quant)
 
     prompt_embeds = timer.wrap(
         "vision", model.prompt_embeds,
@@ -326,7 +327,7 @@ def cer_oracle_check() -> dict:
 
 def main() -> None:
     scale = os.environ.get("HOCR_BENCH_SCALE", "7b")
-    default_pages = {"7b": 16, "3b": 16}.get(scale, 2)
+    default_pages = {"7b": 24, "3b": 16}.get(scale, 2)
     n_pages = int(os.environ.get("HOCR_BENCH_PAGES", str(default_pages)))
     budget_cap = int(os.environ.get("HOCR_BENCH_DECODE", "2048"))
     iters = int(os.environ.get("HOCR_BENCH_ITERS", "2"))

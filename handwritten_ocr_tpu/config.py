@@ -61,16 +61,23 @@ PAGES_PER_DEVICE = 1
 # Fixed decode-slot count (static batch width of the serving program).
 # The decode step is HBM-weight-bound, so tokens/s scales almost
 # linearly with slots until KV pool memory or step latency push back
-# (measured on v5e, 7B int8: 8 slots = 688 tok/s @ 11.6 ms, 16 = 1272
-# @ 12.6 ms, 24 = 1719 @ 14.0 ms). 16 keeps the 7B VLM + pool within
-# one 16 GB chip at the 2,048-token contract budget.
-SERVE_SLOTS = 16
+# (measured on v5e, 7B int8 weights: 8 slots = 688 tok/s @ 11.6 ms,
+# 16 = 1272 @ 12.6, 24 = 1719 @ 14.0 at short contexts; 24 slots x
+# 2.6k-token contexts = 1157 tok/s with the int8 KV cache). 24 slots +
+# int8 KV keep the 7B VLM + pool within one 16 GB chip at the
+# 2,048-token contract budget.
+SERVE_SLOTS = 24
 # KV block granularity in tokens; pool block 0 is the reserved trash sink.
 SERVE_BLOCK_SIZE = 128
 # Decode steps per dispatch — the admission/retirement/streaming cadence.
 SERVE_CHUNK = 16
 # Prompt lengths pad up to a multiple of this (bounds compiled prefills).
 SERVE_PREFILL_BUCKET = 128
+# int8 KV cache on the TPU serving path: per-token/per-head scales
+# (amax/127 over head_dim), quantize on append / dequantize on page read
+# inside the fused decode kernel. Halves pool HBM and page-DMA bytes;
+# CPU test runs keep full-precision KV for bit-comparability.
+SERVE_KV_INT8 = True
 
 
 @dataclasses.dataclass(frozen=True)

@@ -42,6 +42,15 @@ def _spec_enabled() -> bool:
     return os.environ.get("HOCR_SPEC", "1") not in ("0", "off", "false")
 
 
+def _kv_quant() -> bool:
+    """int8 KV cache on the TPU serving path (config.SERVE_KV_INT8;
+    HOCR_KV_INT8=0 overrides off). CPU keeps the full-precision cache so
+    portable tests stay bit-comparable to the dense decoder."""
+    if os.environ.get("HOCR_KV_INT8", "") in ("0", "off", "false"):
+        return False
+    return cfg_mod.SERVE_KV_INT8 and jax.default_backend() == "tpu"
+
+
 class TPUPreprocessor:
     """Runs strategy chains on device; images never touch temp files.
 
@@ -139,7 +148,8 @@ class JaxOCRBackend:
                 program, n_slots=cfg_mod.SERVE_SLOTS, block_size=block,
                 max_context=context, chunk=cfg_mod.SERVE_CHUNK,
                 prefill_bucket=cfg_mod.SERVE_PREFILL_BUCKET,
-                dtype=self.model.params["text"]["embed"]["w"].dtype)
+                dtype=self.model.params["text"]["embed"]["w"].dtype,
+                kv_quant=_kv_quant())
         return self._batcher
 
     def _place_batch(self, patches):
@@ -346,7 +356,8 @@ class JaxReasoningBackend:
                 program, n_slots=cfg_mod.SERVE_SLOTS, block_size=block,
                 max_context=context, chunk=cfg_mod.SERVE_CHUNK,
                 prefill_bucket=cfg_mod.SERVE_PREFILL_BUCKET,
-                dtype=self.model.params["embed"]["w"].dtype)
+                dtype=self.model.params["embed"]["w"].dtype,
+                kv_quant=_kv_quant())
         return self._batcher
 
     def _stream_printer(self):

@@ -390,7 +390,7 @@ class ContinuousBatcher:
                  block_size: int = 64, n_blocks: int | None = None,
                  max_context: int = 4096, chunk: int = 16,
                  prefill_bucket: int = 128, draft_k: int = 16,
-                 dtype=jnp.bfloat16):
+                 dtype=jnp.bfloat16, kv_quant: bool = False):
         cfg = program.cfg
         self.program = program
         self.n_slots = n_slots
@@ -405,7 +405,7 @@ class ContinuousBatcher:
         self.cache = PagedKVCache.zeros(
             cfg.num_hidden_layers, n_blocks, block_size, n_slots,
             self.max_blocks, cfg.num_key_value_heads, cfg.head_dim,
-            dtype=dtype)
+            dtype=dtype, kv_quant=kv_quant)
         self._free_blocks: list[int] = list(range(n_blocks - 1, 0, -1))
         self._tables = np.zeros((n_slots, self.max_blocks), np.int32)
         self._free_slots: list[int] = list(range(n_slots - 1, -1, -1))
@@ -474,18 +474,31 @@ class ContinuousBatcher:
         self._free_slots.append(slot)
         self._tables[slot] = 0
 
-    def _prefill_admitted(self, admitted: list[tuple[int, GenRequest]]) -> None:
-        """Prefill admitted requests grouped by padded prompt length."""
+    # Prefill activations scale with rows x bucket tokens; cap the rows
+    # per dispatch so wide slot counts at long buckets don't blow HBM
+    # (prefill is compute-bound — small row groups lose nothing).
+    PREFILL_GROUP_TOKENS = 32768
+
+    def _prefill_groups(self, admitted):
+        """Split admitted requests into (bucket, sub-group) prefill
+        dispatches: grouped by padded prompt length, each sub-group
+        capped at PREFILL_GROUP_TOKENS total padded tokens."""
         by_bucket: dict[int, list[tuple[int, GenRequest]]] = {}
         for slot, request in admitted:
             bucket = max(self.prefill_bucket,
                          -(-len(request.prompt_ids) // self.prefill_bucket)
                          * self.prefill_bucket)
             by_bucket.setdefault(bucket, []).append((slot, request))
+        for bucket, group in by_bucket.items():
+            rows = max(1, self.PREFILL_GROUP_TOKENS // bucket)
+            for lo in range(0, len(group), rows):
+                yield bucket, group[lo:lo + rows]
 
+    def _prefill_admitted(self, admitted: list[tuple[int, GenRequest]]) -> None:
+        """Prefill admitted requests grouped by padded prompt length."""
         self.cache = self.cache._replace(
             block_tables=jnp.asarray(self._tables))
-        for bucket, group in by_bucket.items():
+        for bucket, group in self._prefill_groups(admitted):
             slots = np.array([s for s, _ in group], np.int32)
             true_len = np.array([len(r.prompt_ids) for _, r in group],
                                 np.int32)
@@ -564,13 +577,7 @@ class ContinuousBatcher:
                 return
             self.cache = self.cache._replace(
                 block_tables=jnp.asarray(self._tables))
-            by_bucket: dict[int, list[tuple[int, GenRequest]]] = {}
-            for slot, request in admitted:
-                bucket = max(self.prefill_bucket,
-                             -(-len(request.prompt_ids) // self.prefill_bucket)
-                             * self.prefill_bucket)
-                by_bucket.setdefault(bucket, []).append((slot, request))
-            for bucket, group in by_bucket.items():
+            for bucket, group in self._prefill_groups(admitted):
                 slots = np.array([s for s, _ in group], np.int32)
                 true_len = np.array([len(r.prompt_ids) for _, r in group],
                                     np.int32)

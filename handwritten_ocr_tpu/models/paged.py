@@ -45,12 +45,27 @@ from handwritten_ocr_tpu.models.qwen25vl.language import mrope_cos_sin
 
 
 class PagedKVCache(NamedTuple):
-    """Block-pool KV state shared by all live sequences."""
+    """Block-pool KV state shared by all live sequences.
+
+    ``k_scale``/``v_scale`` are set only for the int8-quantized cache:
+    data pools hold int8 rows, the scale pools the per-token/per-head
+    f32 dequantization factors (amax/127 over D). Halves KV HBM and
+    page-DMA bytes — what lets 16 GB chips serve wide slot counts at
+    the 2,048-token contract.
+    """
 
     k: jax.Array             # [L, n_blocks, block_size, H_kv, D]
     v: jax.Array             # [L, n_blocks, block_size, H_kv, D]
     block_tables: jax.Array  # [S, max_blocks] int32 pool indices (0 = trash)
     lengths: jax.Array       # [S] int32 tokens cached per slot
+    # Scale pools keep block_size MINOR (vs the data pools' head-minor
+    # page rows) so whole-scale-page DMAs stay 128-lane aligned:
+    k_scale: jax.Array | None = None   # [L, n_blocks, H_kv, block_size] f32
+    v_scale: jax.Array | None = None
+
+    @property
+    def quantized(self) -> bool:
+        return self.k_scale is not None
 
     @property
     def block_size(self) -> int:
@@ -63,11 +78,22 @@ class PagedKVCache(NamedTuple):
     @classmethod
     def zeros(cls, num_layers: int, n_blocks: int, block_size: int,
               n_slots: int, max_blocks: int, num_kv_heads: int,
-              head_dim: int, dtype=jnp.bfloat16) -> "PagedKVCache":
+              head_dim: int, dtype=jnp.bfloat16,
+              kv_quant: bool = False) -> "PagedKVCache":
         # Page-major layout: one page is a contiguous [BS, H_kv, D] slab,
         # so the decode kernel fetches a page (all KV heads) in ONE DMA
         # and appends a token's k/v (all heads) in one [H_kv, D] copy.
         shape = (num_layers, n_blocks, block_size, num_kv_heads, head_dim)
+        if kv_quant:
+            scale_shape = (num_layers, n_blocks, num_kv_heads, block_size)
+            return cls(
+                k=jnp.zeros(shape, jnp.int8),
+                v=jnp.zeros(shape, jnp.int8),
+                block_tables=jnp.zeros((n_slots, max_blocks), jnp.int32),
+                lengths=jnp.zeros((n_slots,), jnp.int32),
+                k_scale=jnp.zeros(scale_shape, jnp.float32),
+                v_scale=jnp.zeros(scale_shape, jnp.float32),
+            )
         return cls(
             k=jnp.zeros(shape, dtype),
             v=jnp.zeros(shape, dtype),
@@ -76,36 +102,76 @@ class PagedKVCache(NamedTuple):
         )
 
 
-def _write(pool: jax.Array, layer_idx: int, tables: jax.Array,
-           start: jax.Array, new: jax.Array) -> jax.Array:
-    """Scatter ``new [B, T, H, D]`` into layer ``layer_idx`` of the full
-    pool ``[L, N, BS, H, D]`` at positions ``start[b] + t`` of each row's
-    block table. Returns the updated full pool (in-place under jit).
-    Used by the prefill and portable paths; the fused decode kernel
-    appends via in-kernel DMA instead."""
-    b, t, h, d = new.shape
-    block_size = pool.shape[2]
+def _quantize_rows(new: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Per-token/per-head int8 quantization of [B, T, H, D] rows —
+    bit-matches the kernel's in-kernel append quantization."""
+    f = new.astype(jnp.float32)
+    scales = jnp.maximum(jnp.max(jnp.abs(f), axis=-1), 1e-6) / 127.0
+    q = jnp.round(f / scales[..., None]).astype(jnp.int8)
+    return q, scales
+
+
+def _scatter_rows(pool: jax.Array, layer_idx: int, blocks: jax.Array,
+                  offsets: jax.Array, flat: jax.Array) -> jax.Array:
+    return pool.at[layer_idx, blocks, offsets].set(
+        flat.astype(pool.dtype))
+
+
+def _write(pools: tuple, layer_idx: int, tables: jax.Array,
+           start: jax.Array, k: jax.Array, v: jax.Array) -> tuple:
+    """Scatter new ``k/v [B, T, H, D]`` into layer ``layer_idx`` of the
+    pool tuple ``(k, v, k_scale|None, v_scale|None)`` at positions
+    ``start[b] + t`` of each row's block table; int8 pools quantize the
+    rows first (same formula as the fused kernel's in-kernel append).
+    Returns the updated tuple (in-place under jit). Used by the prefill
+    and portable paths; the fused decode kernel appends via DMA."""
+    k_pool, v_pool, ks_pool, vs_pool = pools
+    b, t, h, d = k.shape
+    block_size = k_pool.shape[2]
     pos = start[:, None] + jnp.arange(t)[None, :]                # [B, T]
     pos = jnp.minimum(pos, tables.shape[1] * block_size - 1)
     blocks = jnp.take_along_axis(tables, pos // block_size, axis=1)
-    flat = new.reshape(b * t, h, d).astype(pool.dtype)           # [BT, H, D]
-    return pool.at[layer_idx, blocks.reshape(-1),
-                   (pos % block_size).reshape(-1)].set(flat)
+    blocks = blocks.reshape(-1)
+    offsets = (pos % block_size).reshape(-1)
+    if ks_pool is not None:
+        kq, ks = _quantize_rows(k)
+        vq, vs = _quantize_rows(v)
+        # scale pools are [L, N, H, BS] (BS minor for the kernel's
+        # aligned page DMAs): scatter at (block, head-slice, offset).
+        ks_pool = ks_pool.at[layer_idx, blocks, :, offsets].set(
+            ks.reshape(b * t, h))
+        vs_pool = vs_pool.at[layer_idx, blocks, :, offsets].set(
+            vs.reshape(b * t, h))
+        return (_scatter_rows(k_pool, layer_idx, blocks, offsets,
+                              kq.reshape(b * t, h, d)),
+                _scatter_rows(v_pool, layer_idx, blocks, offsets,
+                              vq.reshape(b * t, h, d)),
+                ks_pool, vs_pool)
+    return (_scatter_rows(k_pool, layer_idx, blocks, offsets,
+                          k.reshape(b * t, h, d)),
+            _scatter_rows(v_pool, layer_idx, blocks, offsets,
+                          v.reshape(b * t, h, d)),
+            None, None)
 
 
-def _gather(pool: jax.Array, layer_idx: int, tables: jax.Array) -> jax.Array:
+def _gather(pool: jax.Array, layer_idx: int, tables: jax.Array,
+            scale_pool: jax.Array | None = None) -> jax.Array:
     """Materialize one layer's cache window for the given rows (portable
-    fallback path): [B, max_ctx, H, D]."""
+    fallback path), dequantizing int8 pools: [B, max_ctx, H, D]."""
     g = pool[layer_idx][tables]                    # [B, MB, BS, H, D]
     b = g.shape[0]
+    if scale_pool is not None:
+        scales = scale_pool[layer_idx][tables]     # [B, MB, H, BS]
+        g = g.astype(jnp.float32) * scales.transpose(0, 1, 3, 2)[..., None]
     return g.reshape(b, -1, g.shape[-2], g.shape[-1])
 
 
 def _paged_self_attention(layer: dict, cfg, x: jax.Array, cos, sin,
-                          layer_idx: int, k_pool, v_pool,
+                          layer_idx: int, pools: tuple,
                           tables: jax.Array, start: jax.Array,
                           n_valid: jax.Array, fresh: bool):
-    """One attention layer over the paged pool.
+    """One attention layer over the paged pool tuple
+    ``(k, v, k_scale|None, v_scale|None)``.
 
     x: [B, T, D] current tokens (prompt for prefill, single step for
     decode); start[b] = tokens already cached for row b; n_valid[b] = how
@@ -114,9 +180,9 @@ def _paged_self_attention(layer: dict, cfg, x: jax.Array, cos, sin,
     takes the Pallas flash kernel straight on the current k/v; decode-
     shaped calls (T <= 64) run the fused append+attention kernel
     (ops/paged_decode_attention: in-kernel k/v append replacing the XLA
-    scatter, length-bounded pipelined page DMAs, zero cost for
-    n_valid == 0 rows); CPU falls back to scatter + gather + causal-by-
-    absolute-position mask.
+    scatter, length-bounded pipelined page DMAs, int8 KV quantize/
+    dequantize in-kernel, zero cost for n_valid == 0 rows); CPU falls
+    back to scatter + gather + causal-by-absolute-position mask.
     """
     b, t, _ = x.shape
     hd = cfg.head_dim
@@ -132,16 +198,14 @@ def _paged_self_attention(layer: dict, cfg, x: jax.Array, cos, sin,
         flash_mode, paged_attention_mode)
     if fresh and t > 1 and flash_mode() != "off":
         # Prefill fast path: a fresh slot attends only to its own
-        # prompt — causal flash over the current tokens (right-padded
-        # garbage rows self-attend harmlessly; their outputs are
-        # never read).
+        # prompt — causal flash over the current (full-precision)
+        # tokens (right-padded garbage rows self-attend harmlessly;
+        # their outputs are never read).
         from handwritten_ocr_tpu.ops.flash_attention import flash_attention
-        k_pool = _write(k_pool, layer_idx, tables, start, k)
-        v_pool = _write(v_pool, layer_idx, tables, start, v)
+        pools = _write(pools, layer_idx, tables, start, k, v)
         out = flash_attention(q, k, v, causal=True, scale=hd ** -0.5,
                               interpret=(flash_mode() == "interpret"))
-        return (linear(layer["o"], out.reshape(b, t, -1)),
-                k_pool, v_pool)
+        return linear(layer["o"], out.reshape(b, t, -1)), pools
 
     paged_mode = paged_attention_mode()
     if t <= 64 and paged_mode != "off":
@@ -150,18 +214,22 @@ def _paged_self_attention(layer: dict, cfg, x: jax.Array, cos, sin,
         # query token i attends through absolute position start + i.
         from handwritten_ocr_tpu.ops.paged_decode_attention import (
             paged_append_attention)
-        out, k_pool, v_pool = paged_append_attention(
-            q, k.astype(k_pool.dtype), v.astype(v_pool.dtype),
-            k_pool, v_pool, tables, start, n_valid,
+        k_pool, v_pool, ks_pool, vs_pool = pools
+        kv_dtype = x.dtype if ks_pool is not None else k_pool.dtype
+        out, *pools = paged_append_attention(
+            q, k.astype(kv_dtype), v.astype(kv_dtype),
+            k_pool, v_pool, tables, start, n_valid, ks_pool, vs_pool,
             layer=layer_idx, scale=hd ** -0.5,
             interpret=(paged_mode == "interpret"))
+        if len(pools) == 2:
+            pools += [None, None]
         return (linear(layer["o"], out.astype(x.dtype).reshape(b, t, -1)),
-                k_pool, v_pool)
+                tuple(pools))
 
-    k_pool = _write(k_pool, layer_idx, tables, start, k)
-    v_pool = _write(v_pool, layer_idx, tables, start, v)
-    keys = _gather(k_pool, layer_idx, tables)      # [B, CTX, H, D]
-    values = _gather(v_pool, layer_idx, tables)
+    pools = _write(pools, layer_idx, tables, start, k, v)
+    k_pool, v_pool, ks_pool, vs_pool = pools
+    keys = _gather(k_pool, layer_idx, tables, ks_pool)   # [B, CTX, H, D]
+    values = _gather(v_pool, layer_idx, tables, vs_pool)
     ctx = keys.shape[1]
     rows = start[:, None, None] + jnp.arange(t)[None, :, None]   # [B, T, 1]
     cols = jnp.arange(ctx)[None, None, :]                        # [1, 1, CTX]
@@ -169,7 +237,7 @@ def _paged_self_attention(layer: dict, cfg, x: jax.Array, cos, sin,
 
     out = attention(q, keys.astype(q.dtype), values.astype(q.dtype),
                     mask, scale=hd ** -0.5)
-    return linear(layer["o"], out.reshape(b, t, -1)), k_pool, v_pool
+    return linear(layer["o"], out.reshape(b, t, -1)), pools
 
 
 def paged_forward(params: dict, cfg, embeds: jax.Array,
@@ -211,11 +279,11 @@ def paged_forward(params: dict, cfg, embeds: jax.Array,
         n_valid = jnp.where(attn_valid, new_len - start, 0)
     cos, sin = mrope_cos_sin(cfg, position_ids)
     x = embeds
-    k_pool, v_pool = cache.k, cache.v
+    pools = (cache.k, cache.v, cache.k_scale, cache.v_scale)
     for idx, layer in enumerate(params["layers"]):
-        attn_out, k_pool, v_pool = _paged_self_attention(
+        attn_out, pools = _paged_self_attention(
             layer["attn"], cfg, rms_norm(layer["ln1"], x, cfg.rms_norm_eps),
-            cos, sin, idx, k_pool, v_pool, tables, start, n_valid, fresh)
+            cos, sin, idx, pools, tables, start, n_valid, fresh)
         x = x + attn_out
         x = x + swiglu_mlp(layer["mlp"],
                            rms_norm(layer["ln2"], x, cfg.rms_norm_eps))
@@ -224,7 +292,8 @@ def paged_forward(params: dict, cfg, embeds: jax.Array,
 
     new_lengths = cache.lengths.at[slot_ids].set(
         jnp.minimum(new_len, cache.max_context))
-    new_cache = PagedKVCache(k=k_pool, v=v_pool,
+    new_cache = PagedKVCache(k=pools[0], v=pools[1],
                              block_tables=cache.block_tables,
-                             lengths=new_lengths)
+                             lengths=new_lengths,
+                             k_scale=pools[2], v_scale=pools[3])
     return x, new_cache

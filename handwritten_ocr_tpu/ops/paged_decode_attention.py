@@ -54,11 +54,19 @@ _CHUNK_TOKENS = 512
 
 
 def _kernel(tables_ref, start_ref, nvalid_ref,           # scalar prefetch
-            q_ref, k_new_ref, v_new_ref, _k_in, _v_in,   # inputs
-            o_ref, k_pool_ref, v_pool_ref,               # outputs (pools aliased)
-            k_buf, v_buf, m_ref, l_ref, acc_ref,
-            k_sems, v_sems, ak_sem, av_sem,
-            *, layer: int, t: int, scale: float):
+            q_ref, k_new_ref, v_new_ref, *rest,
+            layer: int, t: int, scale: float, quant: bool):
+    if quant:
+        (_k_in, _v_in, _ks_in, _vs_in,
+         o_ref, k_pool_ref, v_pool_ref, ks_pool_ref, vs_pool_ref,
+         k_buf, v_buf, ks_buf, vs_buf, qk_row, qv_row, ks_stage, vs_stage,
+         m_ref, l_ref, acc_ref,
+         k_sems, v_sems, ak_sem, av_sem) = rest
+    else:
+        (_k_in, _v_in,
+         o_ref, k_pool_ref, v_pool_ref,
+         k_buf, v_buf, m_ref, l_ref, acc_ref,
+         k_sems, v_sems, ak_sem, av_sem) = rest
     s = pl.program_id(0)
     _, n_pages_table = tables_ref.shape
     bs = k_buf.shape[2]                     # (2, PPC, BS, Hkv, D)
@@ -68,23 +76,86 @@ def _kernel(tables_ref, start_ref, nvalid_ref,           # scalar prefetch
     cap = n_pages_table * bs - 1            # last writable position
 
     # ---- append new k/v rows (token i lands at position start + i) ----
-    def append_copy(i, pool_ref, new_ref, sem):
+    if quant:
+        # Quantize the new rows first (per token per head: amax/127 over
+        # D), staging int8 data in scratch for the DMAs.
+        kn = k_new_ref[0].astype(jnp.float32)            # [T, Hkv, D]
+        vn = v_new_ref[0].astype(jnp.float32)
+        ksc = jnp.maximum(jnp.max(jnp.abs(kn), axis=-1), 1e-6) / 127.0
+        vsc = jnp.maximum(jnp.max(jnp.abs(vn), axis=-1), 1e-6) / 127.0
+        qk_row[...] = jnp.round(kn / ksc[..., None]).astype(jnp.int8)
+        qv_row[...] = jnp.round(vn / vsc[..., None]).astype(jnp.int8)
+        k_src, v_src = qk_row, qv_row
+    else:
+        k_src, v_src = k_new_ref.at[0], v_new_ref.at[0]
+
+    def append_copies(i):
         pos = jnp.minimum(start + i, cap)
         block = tables_ref[s, pos // bs]
-        return pltpu.make_async_copy(new_ref.at[0, i],
-                                     pool_ref.at[layer, block, pos % bs],
-                                     sem)
+        return (pltpu.make_async_copy(
+                    k_src.at[i], k_pool_ref.at[layer, block, pos % bs],
+                    ak_sem),
+                pltpu.make_async_copy(
+                    v_src.at[i], v_pool_ref.at[layer, block, pos % bs],
+                    av_sem))
 
     for i in range(t):
         @pl.when(i < nv)
         def _start_append(i=i):
-            append_copy(i, k_pool_ref, k_new_ref, ak_sem).start()
-            append_copy(i, v_pool_ref, v_new_ref, av_sem).start()
+            dk, dv = append_copies(i)
+            dk.start()
+            dv.start()
     for i in range(t):
         @pl.when(i < nv)
         def _wait_append(i=i):
-            append_copy(i, k_pool_ref, k_new_ref, ak_sem).wait()
-            append_copy(i, v_pool_ref, v_new_ref, av_sem).wait()
+            dk, dv = append_copies(i)
+            dk.wait()
+            dv.wait()
+
+    if quant:
+        # Scale appends: the scale pool is [L, N, Hkv, BS] (BS minor so
+        # page copies stay 128-lane aligned; per-token slices would not
+        # be), so appending is a read-modify-write of the whole 2 KB
+        # scale page: DMA it in, splice the new tokens' scales with a
+        # masked select, DMA it back. Tokens span at most two pages
+        # (T <= 64 <= BS).
+        hkv_ = qk_row.shape[1]
+        p_first = start // bs
+        p_extra = (start + jnp.maximum(nv, 1) - 1) // bs  # last touched
+
+        for j in range(2):
+            @pl.when(((j == 0) & (nv > 0))
+                     | ((j == 1) & (nv > 0) & (p_extra > p_first)))
+            def _scale_rmw(j=j):
+                pj = jnp.minimum(p_first + j, n_pages_table - 1)
+                blk = tables_ref[s, pj]
+                rk = pltpu.make_async_copy(
+                    ks_pool_ref.at[layer, blk], ks_stage, ak_sem)
+                rv = pltpu.make_async_copy(
+                    vs_pool_ref.at[layer, blk], vs_stage, av_sem)
+                rk.start()
+                rv.start()
+                rk.wait()
+                rv.wait()
+                col = jax.lax.broadcasted_iota(jnp.int32, (hkv_, bs), 1)
+                ks_new = ks_stage[...]
+                vs_new = vs_stage[...]
+                for i in range(t):
+                    pos = start + i
+                    sel = ((i < nv) & (pos // bs == pj)
+                           & (col == pos % bs))
+                    ks_new = jnp.where(sel, ksc[i][:, None], ks_new)
+                    vs_new = jnp.where(sel, vsc[i][:, None], vs_new)
+                ks_stage[...] = ks_new
+                vs_stage[...] = vs_new
+                wk = pltpu.make_async_copy(
+                    ks_stage, ks_pool_ref.at[layer, blk], ak_sem)
+                wv = pltpu.make_async_copy(
+                    vs_stage, vs_pool_ref.at[layer, blk], av_sem)
+                wk.start()
+                wv.start()
+                wk.wait()
+                wv.wait()
 
     # ---- paged flash attention over pages [0, ceil(limit / bs)) ----
     # Pages group into CHUNKS of ppc pages: every chunk is one compute
@@ -111,28 +182,37 @@ def _kernel(tables_ref, start_ref, nvalid_ref,           # scalar prefetch
         for i in range(ppc):
             page = c * ppc + i
             block = tables_ref[s, jnp.minimum(page, n_pages_table - 1)]
-            out.append((page, (
+            copies = [
                 pltpu.make_async_copy(
                     k_pool_ref.at[layer, block],
                     k_buf.at[buf, i], k_sems.at[buf]),
                 pltpu.make_async_copy(
                     v_pool_ref.at[layer, block],
-                    v_buf.at[buf, i], v_sems.at[buf]))))
+                    v_buf.at[buf, i], v_sems.at[buf])]
+            if quant:
+                copies += [
+                    pltpu.make_async_copy(
+                        ks_pool_ref.at[layer, block],
+                        ks_buf.at[buf, i], k_sems.at[buf]),
+                    pltpu.make_async_copy(
+                        vs_pool_ref.at[layer, block],
+                        vs_buf.at[buf, i], v_sems.at[buf])]
+            out.append((page, copies))
         return out
 
     def start_chunk(c, buf):
-        for page, (dk, dv) in chunk_copies(c, buf):
+        for page, copies in chunk_copies(c, buf):
             @pl.when(page < n_pages)
-            def _go(dk=dk, dv=dv):
-                dk.start()
-                dv.start()
+            def _go(copies=copies):
+                for dma in copies:
+                    dma.start()
 
     def wait_chunk(c, buf):
-        for page, (dk, dv) in chunk_copies(c, buf):
+        for page, copies in chunk_copies(c, buf):
             @pl.when(page < n_pages)
-            def _done(dk=dk, dv=dv):
-                dk.wait()
-                dv.wait()
+            def _done(copies=copies):
+                for dma in copies:
+                    dma.wait()
 
     m_ref[...] = jnp.full_like(m_ref, _NEG_INF)
     l_ref[...] = jnp.zeros_like(l_ref)
@@ -144,6 +224,9 @@ def _kernel(tables_ref, start_ref, nvalid_ref,           # scalar prefetch
     # across chunks hold stale (finite) page data, equally harmless.
     k_buf[...] = jnp.zeros_like(k_buf)
     v_buf[...] = jnp.zeros_like(v_buf)
+    if quant:
+        ks_buf[...] = jnp.zeros_like(ks_buf)
+        vs_buf[...] = jnp.zeros_like(vs_buf)
 
     @pl.when(n_chunks > 0)
     def _warm():
@@ -166,6 +249,18 @@ def _kernel(tables_ref, start_ref, nvalid_ref,           # scalar prefetch
             jax.lax.dot_general(q[h], k[:, h, :], (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
             for h in range(hkv)])
+        if quant:
+            # Dequantize in SCORE space: scale is per (head, column), so
+            # scores *= k_scale[h, col] and later p_exp *= v_scale —
+            # column broadcasts over the [Hkv, .., PPC*BS] layout need
+            # only a leading-dim shuffle of the [PPC, Hkv, BS] scale
+            # buffers (a minor-dim transpose to match k's rows would be
+            # an expensive sublane/lane relayout).
+            ks = ks_buf[buf].transpose(1, 0, 2).reshape(
+                hkv, 1, cols_per_chunk)
+            vs = vs_buf[buf].transpose(1, 0, 2).reshape(
+                hkv, 1, cols_per_chunk)
+            scores = scores * ks
         col = c * cols_per_chunk + jax.lax.broadcasted_iota(
             jnp.int32, (hkv, gt, cols_per_chunk), 2)
         scores = jnp.where(col <= row_max, scores, _NEG_INF)
@@ -180,6 +275,10 @@ def _kernel(tables_ref, start_ref, nvalid_ref,           # scalar prefetch
                                jnp.exp(m_prev - safe_m))
         l_ref[...] = (correction * l_ref[...]
                       + jnp.sum(p_exp, axis=-1, keepdims=True))
+        if quant:
+            # Fold v's dequant into the probabilities AFTER the
+            # normalizer sum (l must sum unscaled probabilities).
+            p_exp = p_exp * vs
         pv = jnp.stack([                                  # [Hkv, GT, D]
             jax.lax.dot_general(p_exp[h], v[:, h, :], (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32)
@@ -204,18 +303,24 @@ def paged_append_attention(
     tables: jax.Array,   # [S, W] int32 pool block ids (ladder-narrowed)
     start: jax.Array,    # [S] int32 tokens already cached
     n_valid: jax.Array,  # [S] int32 real tokens this call (0 = skip slot)
+    k_scale_pool: jax.Array | None = None,   # [L, N, Hkv, BS] f32 (int8 KV)
+    v_scale_pool: jax.Array | None = None,
     *,
     layer: int,
     scale: float,
     interpret: bool = False,
-) -> tuple[jax.Array, jax.Array, jax.Array]:
+) -> tuple[jax.Array, ...]:
     """Append ``k_new/v_new`` into layer ``layer`` of the pools and return
-    (attention output [S, T, Hq, D], k_pool, v_pool).
+    ``(attention output [S, T, Hq, D], k_pool, v_pool)`` — plus the two
+    scale pools when the cache is int8-quantized (``k_scale_pool`` set):
+    new rows then quantize in-kernel (per token per head, amax/127 over
+    D) and pages dequantize after their DMA.
 
     Callers must guarantee ``start + n_valid <= W * BS`` for live slots
     (the serving ladder passes a margin); query token i attends through
     absolute position ``start + i`` (causal within the new block).
     """
+    quant = k_scale_pool is not None
     s, t, hq, d = q.shape
     hkv = k_new.shape[2]
     g = hq // hkv
@@ -230,53 +335,72 @@ def paged_append_attention(
 
     bs = k_pool.shape[2]
     ppc = max(1, _CHUNK_TOKENS // bs)
-    kernel = functools.partial(_kernel, layer=layer, t=t, scale=scale)
+    kernel = functools.partial(_kernel, layer=layer, t=t, scale=scale,
+                               quant=quant)
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    n_pools = 4 if quant else 2
+    in_specs = [
+        pl.BlockSpec((1, hkv, gt_pad, d), lambda i, *_: (i, 0, 0, 0)),
+        pl.BlockSpec((1, t, hkv, d), lambda i, *_: (i, 0, 0, 0)),
+        pl.BlockSpec((1, t, hkv, d), lambda i, *_: (i, 0, 0, 0)),
+    ] + [any_spec] * n_pools
+    out_specs = [
+        pl.BlockSpec((1, hkv, gt_pad, d), lambda i, *_: (i, 0, 0, 0)),
+    ] + [any_spec] * n_pools
+    scratch_shapes = [
+        # chunk buffers: (double-buffer, pages/chunk, BS, Hkv[, D])
+        pltpu.VMEM((2, ppc) + k_pool.shape[2:], k_pool.dtype),
+        pltpu.VMEM((2, ppc) + v_pool.shape[2:], v_pool.dtype),
+    ]
+    if quant:
+        scratch_shapes += [
+            pltpu.VMEM((2, ppc, hkv, bs), jnp.float32),   # scale chunks
+            pltpu.VMEM((2, ppc, hkv, bs), jnp.float32),
+            pltpu.VMEM((t, hkv, d), jnp.int8),            # staged int8 rows
+            pltpu.VMEM((t, hkv, d), jnp.int8),
+            pltpu.VMEM((hkv, bs), jnp.float32),           # scale-page RMW
+            pltpu.VMEM((hkv, bs), jnp.float32),
+        ]
+    scratch_shapes += [
+        pltpu.VMEM((hkv, gt_pad, 128), jnp.float32),      # running max
+        pltpu.VMEM((hkv, gt_pad, 128), jnp.float32),      # running sum
+        pltpu.VMEM((hkv, gt_pad, d), jnp.float32),        # accumulator
+        pltpu.SemaphoreType.DMA((2,)),
+        pltpu.SemaphoreType.DMA((2,)),
+        pltpu.SemaphoreType.DMA(()),
+        pltpu.SemaphoreType.DMA(()),
+    ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
-        grid=(s,),
-        in_specs=[
-            pl.BlockSpec((1, hkv, gt_pad, d), lambda i, *_: (i, 0, 0, 0)),
-            pl.BlockSpec((1, t, hkv, d), lambda i, *_: (i, 0, 0, 0)),
-            pl.BlockSpec((1, t, hkv, d), lambda i, *_: (i, 0, 0, 0)),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, hkv, gt_pad, d), lambda i, *_: (i, 0, 0, 0)),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
-        scratch_shapes=[
-            # chunk buffers: (double-buffer, pages/chunk, BS, Hkv, D)
-            pltpu.VMEM((2, ppc) + k_pool.shape[2:], k_pool.dtype),
-            pltpu.VMEM((2, ppc) + v_pool.shape[2:], v_pool.dtype),
-            pltpu.VMEM((hkv, gt_pad, 128), jnp.float32),  # running max
-            pltpu.VMEM((hkv, gt_pad, 128), jnp.float32),  # running sum
-            pltpu.VMEM((hkv, gt_pad, d), jnp.float32),    # accumulator
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA(()),
-        ],
-    )
-    out, k_pool, v_pool = pl.pallas_call(
+        num_scalar_prefetch=3, grid=(s,),
+        in_specs=in_specs, out_specs=out_specs,
+        scratch_shapes=scratch_shapes)
+    out_shape = [
+        jax.ShapeDtypeStruct((s, hkv, gt_pad, d), q.dtype),
+        jax.ShapeDtypeStruct(k_pool.shape, k_pool.dtype),
+        jax.ShapeDtypeStruct(v_pool.shape, v_pool.dtype),
+    ]
+    # operand order: 3 prefetch scalars, q, k_new, v_new, then the pools
+    aliases = {6: 1, 7: 2}
+    operands = [tables, start.astype(jnp.int32), n_valid.astype(jnp.int32),
+                qr, k_new, v_new, k_pool, v_pool]
+    if quant:
+        out_shape += [jax.ShapeDtypeStruct(k_scale_pool.shape, jnp.float32),
+                      jax.ShapeDtypeStruct(v_scale_pool.shape, jnp.float32)]
+        aliases.update({8: 3, 9: 4})
+        operands += [k_scale_pool, v_scale_pool]
+    results = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((s, hkv, gt_pad, d), q.dtype),
-            jax.ShapeDtypeStruct(k_pool.shape, k_pool.dtype),
-            jax.ShapeDtypeStruct(v_pool.shape, v_pool.dtype),
-        ],
-        # operand order: 3 prefetch scalars, q, k_new, v_new, k_pool, v_pool
-        input_output_aliases={6: 1, 7: 2},
+        out_shape=out_shape,
+        input_output_aliases=aliases,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
-    )(tables, start.astype(jnp.int32), n_valid.astype(jnp.int32),
-      qr, k_new, v_new, k_pool, v_pool)
+    )(*operands)
+    out, *pools = results
 
     out = (out[:, :, :gt]
            .reshape(s, hkv, g, t, d)
            .reshape(s, hq, t, d)
            .transpose(0, 2, 1, 3))
-    return out, k_pool, v_pool
+    return (out, *pools)

@@ -98,9 +98,14 @@ def vl_param_bytes(cfg, quant: str | None = "int8") -> int:
 
 
 def kv_cache_bytes(num_layers: int, batch: int, max_len: int,
-                   kv_heads: int, head_dim: int, dtype_bytes: int = _BF16) -> int:
-    """k + v buffers for one preallocated (or fully-paged) cache."""
-    return 2 * num_layers * batch * max_len * kv_heads * head_dim * dtype_bytes
+                   kv_heads: int, head_dim: int, dtype_bytes: int = _BF16,
+                   kv_quant: bool = False) -> int:
+    """k + v buffers for one preallocated (or fully-paged) cache.
+    ``kv_quant``: int8 data + per-token/per-head f32 scale (the serving
+    default, config.SERVE_KV_INT8)."""
+    per_elem = (_INT8 + _F32 / head_dim) if kv_quant else dtype_bytes
+    return int(2 * num_layers * batch * max_len * kv_heads * head_dim
+               * per_elem)
 
 
 @dataclass
@@ -137,7 +142,7 @@ def coresident_plan(
     hbm_per_chip: int = 16 * 2**30,     # v5e
     vl_tp: int | None = None,
     llm_tp: int | None = None,
-    ocr_batch: int = 8,
+    ocr_batch: int = 24,
     ocr_ctx: int = 4096,                # ~1Mpx page tokens + prompt + 2048 new
     llm_batch: int = 8,
     llm_ctx: int = 16384,               # editor/arbitrator prompts + 4096 new
@@ -164,14 +169,14 @@ def coresident_plan(
             vl_param_bytes(vl_cfg, quant) // vl_tp,
         f"llm_params[{quant or 'bf16'}] TP{llm_tp}":
             qwen3_param_bytes(llm_cfg, quant) // llm_tp,
-        f"vl_kv b{ocr_batch}x{ocr_ctx}":
+        f"vl_kv[int8] b{ocr_batch}x{ocr_ctx}":
             kv_cache_bytes(vl_cfg.text.num_hidden_layers, ocr_batch, ocr_ctx,
                            vl_cfg.text.num_key_value_heads,
-                           vl_cfg.text.head_dim) // vl_tp,
-        f"llm_kv b{llm_batch}x{llm_ctx}":
+                           vl_cfg.text.head_dim, kv_quant=True) // vl_tp,
+        f"llm_kv[int8] b{llm_batch}x{llm_ctx}":
             kv_cache_bytes(llm_cfg.num_hidden_layers, llm_batch, llm_ctx,
                            llm_cfg.num_key_value_heads,
-                           llm_cfg.head_dim) // llm_tp,
+                           llm_cfg.head_dim, kv_quant=True) // llm_tp,
         "activations+workspace": activation_reserve,
     }
     return ServingPlan(n_chips=n_chips, hbm_per_chip=hbm_per_chip,
