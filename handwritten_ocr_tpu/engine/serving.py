@@ -78,7 +78,10 @@ class GenRequest:
     # Self-speculative n-gram drafting (prompt-lookup decoding): draft the
     # next tokens from the last place the current suffix n-gram appeared
     # in (prompt + generated), verify them all in ONE forward, accept the
-    # longest greedy-matching prefix — bit-identical to plain greedy.
+    # longest greedy-matching prefix. Greedy-invisible: bit-identical to
+    # plain greedy where verify and step share numerics (CPU tests);
+    # on TPU the K+1-token verify matmuls tile differently, so only
+    # genuine near-ties can flip (trained models don't sit on ties).
     # Pays off hugely for the editor/arbitrator agents, whose outputs
     # largely copy their prompts.
     speculate: bool = False

@@ -9,7 +9,9 @@ plan is checkable without materializing 32 GB of weights) and produces the
 per-chip serving report asserted by ``__graft_entry__.dryrun_multichip``.
 
 Quantization layout matches models/quant.py: projections AND lm_head
-int8 + f32 per-output-channel scale; embed / norms / biases bf16.
+int8 + f32 per-output-channel scale; embed / norms / biases bf16. The
+KV caches follow models/paged.py's int8 mode (per-token/per-head f32
+scales, config.SERVE_KV_INT8).
 """
 
 from __future__ import annotations
