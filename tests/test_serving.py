@@ -407,3 +407,54 @@ def test_reasoning_backend_paged_matches_dense(tiny):
     solo_dense = dense.chat("sys", "short", temperature=0.1, max_tokens=6)
     solo_paged = paged.chat("sys", "short", temperature=0.1, max_tokens=6)
     assert solo_paged == solo_dense
+
+
+def test_prefill_group_token_cap(tiny):
+    """Admission prefills split into sub-groups bounded by
+    PREFILL_GROUP_TOKENS padded tokens (wide admissions at long buckets
+    must not spike activation memory) — and decode still bit-matches."""
+    params, cfg = tiny
+    rng = np.random.default_rng(9)
+    prompts = [rng.integers(1, 250, size=14).astype(np.int32)
+               for _ in range(4)]
+    expected = [dense_tokens(params, cfg, p.tolist(), 6)[:6]
+                for p in prompts]
+    batcher = make_batcher(params, cfg, n_slots=4, max_context=64)
+    batcher.PREFILL_GROUP_TOKENS = 16      # one 16-bucket row per group
+    calls = []
+    real = batcher.program.prefill
+
+    def spy(cache, embeds, *args):
+        calls.append(embeds.shape[0])
+        return real(cache, embeds, *args)
+
+    batcher.program.prefill = spy
+    got = batcher.run([GenRequest(p, 6) for p in prompts])
+    assert got == expected
+    assert calls and max(calls) == 1       # every group capped to 1 row
+
+
+def test_quantized_fallback_serving_smoke(tiny):
+    """int8-KV serving runs end-to-end on the portable fallback: valid
+    tokens out, and the quantized pool dequantizes to ~the bf16 pool's
+    values (the quality contract the TPU default relies on)."""
+    params, cfg = tiny
+    rng = np.random.default_rng(12)
+    prompts = [rng.integers(1, 250, size=n).astype(np.int32)
+               for n in (9, 14)]
+    exact = make_batcher(params, cfg)
+    quant = make_batcher(params, cfg, kv_quant=True)
+    out_exact = exact.run([GenRequest(p, 8) for p in prompts])
+    out_quant = quant.run([GenRequest(p, 8) for p in prompts])
+    assert all(len(t) == 8 for t in out_quant)
+    # Token-level agreement is expected but not guaranteed (quantization
+    # perturbs near-ties); the pools themselves must round-trip closely.
+    agree = sum(a == b for ta, tb in zip(out_exact, out_quant)
+                for a, b in zip(ta, tb))
+    assert agree >= 12, (agree, out_exact, out_quant)
+    deq = (np.asarray(quant.cache.k, np.float32)
+           * np.asarray(quant.cache.k_scale).transpose(0, 1, 3, 2)[..., None])
+    ref = np.asarray(exact.cache.k, np.float32)
+    live = np.abs(ref) > 0
+    err = np.abs(deq - ref)[live].max() if live.any() else 0.0
+    assert err < 0.05, err
