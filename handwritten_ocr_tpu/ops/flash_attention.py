@@ -53,7 +53,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, kvm_ref, o_ref,
         col = k_start + jax.lax.broadcasted_iota(
             jnp.int32, (block_q, block_k), 1)
         mask = col < kv_len
-        mask = mask & (kvm_ref[0] != 0)[None, :]          # per-key validity
+        mask = mask & (kvm_ref[0, 0] != 0)[None, :]       # per-key validity
         if causal:
             row = q_start + jax.lax.broadcasted_iota(
                 jnp.int32, (block_q, block_k), 0)
@@ -114,7 +114,7 @@ def flash_attention(
     q: jax.Array,            # [B, T, Hq, D]
     k: jax.Array,            # [B, S, Hkv, D]
     v: jax.Array,            # [B, S, Hkv, D]
-    kv_mask: jax.Array | None = None,   # [S] bool: False keys never attended
+    kv_mask: jax.Array | None = None,   # [S] or [B, S] bool: masked keys
     *,
     causal: bool = False,
     scale: float | None = None,
@@ -133,15 +133,20 @@ def flash_attention(
     if block_k is None:
         block_k = _auto_block(s)
     if kv_mask is None:
-        kv_mask = jnp.ones((s,), jnp.float32)
+        kv_mask = jnp.ones((1, s), jnp.float32)
+    elif kv_mask.ndim == 1:
+        kv_mask = kv_mask.astype(jnp.float32)[None]        # shared mask
     else:
-        kv_mask = kv_mask.astype(jnp.float32)
+        kv_mask = kv_mask.astype(jnp.float32)              # [B, S] per row
 
     # Layout: fold batch and heads; pad sequence dims to block multiples.
     qf = _pad_to(q.transpose(0, 2, 1, 3).reshape(b * hq, t, d), 1, block_q)
     kf = _pad_to(k.transpose(0, 2, 1, 3).reshape(b * hkv, s, d), 1, block_k)
     vf = _pad_to(v.transpose(0, 2, 1, 3).reshape(b * hkv, s, d), 1, block_k)
-    mf = _pad_to(kv_mask[None], 1, block_k)                # [1, s_pad]
+    # Mask rides as [rows, 1, s_pad] so its (1, 1, block_k) block keeps
+    # the last-two-dims tiling rule whatever the row count is.
+    mf = _pad_to(kv_mask, 1, block_k)[:, None, :]          # [1|B, 1, s_pad]
+    mask_rows = mf.shape[0]
     t_pad, s_pad = qf.shape[1], kf.shape[1]
     num_q_blocks = t_pad // block_q
     num_k_blocks = s_pad // block_k
@@ -159,7 +164,9 @@ def flash_attention(
                          lambda bh, qi, ki, grp=group: (bh // grp, ki, 0)),
             pl.BlockSpec((1, block_k, d),
                          lambda bh, qi, ki, grp=group: (bh // grp, ki, 0)),
-            pl.BlockSpec((1, block_k), lambda bh, qi, ki: (0, ki)),
+            pl.BlockSpec((1, 1, block_k),
+                         lambda bh, qi, ki, h=hq, mr=mask_rows:
+                         (0 if mr == 1 else bh // h, 0, ki)),
         ],
         out_specs=pl.BlockSpec((1, block_q, d), lambda bh, qi, ki: (bh, qi, 0)),
         out_shape=jax.ShapeDtypeStruct((b * hq, t_pad, d), q.dtype),

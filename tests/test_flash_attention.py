@@ -92,3 +92,27 @@ def test_bf16_rope_fast_path_close_to_fp32(monkeypatch):
     monkeypatch.setenv("HOCR_TPU_ROPE_FP32", "1")
     b32, _ = apply_rope(q, q, cos, sin)
     np.testing.assert_array_equal(np.asarray(a32), np.asarray(b32))
+
+
+def test_per_row_kv_mask():
+    """2D kv_mask: each batch row masks its own keys (the window-folded
+    vision path) — matches the masked jnp reference per row."""
+    rng = np.random.default_rng(8)
+    b, s, h, d = 3, 32, 2, 16
+    q = rng.standard_normal((b, s, h, d)).astype(np.float32)
+    k = rng.standard_normal((b, s, h, d)).astype(np.float32)
+    v = rng.standard_normal((b, s, h, d)).astype(np.float32)
+    mask = np.ones((b, s), bool)
+    mask[0, 20:] = False
+    mask[2, 5:] = False
+    got = np.asarray(flash_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+        jnp.asarray(mask), interpret=True))
+    for row in range(b):
+        scores = np.einsum("thd,shd->hts", q[row], k[row]) * d ** -0.5
+        scores = np.where(mask[row][None, None], scores, -1e30)
+        p = np.exp(scores - scores.max(-1, keepdims=True))
+        p = np.where(mask[row][None, None], p, 0)
+        p /= p.sum(-1, keepdims=True)
+        want = np.einsum("hts,shd->thd", p, v[row])
+        np.testing.assert_allclose(got[row], want, atol=2e-2)
