@@ -52,13 +52,69 @@ def _string_stop_mask(tokenizer, vocab_size: int, eos: int) -> np.ndarray:
     cached = _STOP_MASK_CACHE.get(key)
     if cached is not None:
         return cached
-    mask = np.zeros((vocab_size,), bool)
-    for token in range(vocab_size):
-        if '"' in tokenizer.decode([token]):
-            mask[token] = True
+    mask = _load_stop_mask(tokenizer, vocab_size)
+    if mask is None:
+        mask = np.zeros((vocab_size,), bool)
+        # Fast path: one Rust-side decode_batch call (HF fast tokenizers)
+        # instead of vocab_size Python decode() round-trips — the latter
+        # is a multi-second single-core stall on 152k vocabs.
+        backend = getattr(tokenizer, "_tokenizer", None)
+        if backend is not None and hasattr(backend, "decode_batch"):
+            texts = backend.decode_batch([[t] for t in range(vocab_size)],
+                                         skip_special_tokens=False)
+            for token, text in enumerate(texts):
+                if '"' in text:
+                    mask[token] = True
+        else:
+            for token in range(vocab_size):
+                if '"' in tokenizer.decode([token]):
+                    mask[token] = True
+        _save_stop_mask(tokenizer, vocab_size, mask)
+    mask = mask.copy()
     mask[eos] = True
     _STOP_MASK_CACHE[key] = mask
     return mask
+
+
+def _stop_mask_path(tokenizer, vocab_size: int):
+    """Cross-run cache file for the stop mask, keyed by the tokenizer's
+    name_or_path (None when the tokenizer has no stable identity)."""
+    import hashlib
+    import os
+    import pathlib
+    name = str(getattr(tokenizer, "name_or_path", "") or "")
+    if not name:
+        return None
+    digest = hashlib.sha256(f"{name}:{vocab_size}".encode()).hexdigest()[:16]
+    root = os.environ.get("HOCR_CACHE_DIR") or os.path.join(
+        os.path.expanduser("~"), ".cache", "handwritten_ocr_tpu")
+    return pathlib.Path(root) / f"stop_mask_{digest}.npy"
+
+
+def _load_stop_mask(tokenizer, vocab_size: int) -> np.ndarray | None:
+    path = _stop_mask_path(tokenizer, vocab_size)
+    if path is None or not path.exists():
+        return None
+    try:
+        mask = np.load(path)
+        if mask.shape == (vocab_size,) and mask.dtype == bool:
+            return mask
+    except Exception:
+        pass
+    return None
+
+
+def _save_stop_mask(tokenizer, vocab_size: int, mask: np.ndarray) -> None:
+    path = _stop_mask_path(tokenizer, vocab_size)
+    if path is None:
+        return
+    try:
+        path.parent.mkdir(parents=True, exist_ok=True)
+        tmp = path.with_suffix(".tmp.npy")
+        np.save(tmp, mask)
+        tmp.replace(path)
+    except OSError:
+        pass
 
 
 @dataclasses.dataclass
@@ -650,7 +706,12 @@ class ContinuousBatcher:
                     auto[slot] = True
                     drafts[slot, :len(draft)] = draft
                     draft_len[slot] = len(draft)
-            if good * 2 < len(auto_slots) or good == 0:
+            # Gate on ALL in-span sessions (not just the speculate-
+            # flagged ones): non-drafting in-span slots make no progress
+            # during a verify round, so drafters must dominate.
+            n_in_span = sum(1 for s in sessions.values()
+                            if s.in_string_span())
+            if good * 2 < n_in_span or good == 0:
                 return False
             tokens, accepted, self.cache = self.program.verify_step(
                 self.cache, jnp.asarray(self._last), jnp.asarray(drafts),
@@ -797,10 +858,12 @@ class ContinuousBatcher:
                 good += 1
             drafts[slot, :len(draft)] = draft
             draft_len[slot] = len(draft)
-        # Verify only when at least half the speculating slots drafted
+        # Verify only when at least half of ALL live slots drafted
         # something substantial — a verify round costs one full weight
-        # read for >= 1 token/slot, same as ONE step of a 16-step chunk.
-        if good * 2 < len(speculating) or good == 0:
+        # read and advances non-drafting slots by just 1 token (vs
+        # ~chunk tokens in a plain chunk), so drafting slots must
+        # dominate the batch for the dispatch to pay.
+        if good * 2 < len(self._slot_req) or good == 0:
             return None
         return drafts, draft_len
 

@@ -70,7 +70,8 @@ class LockstepPipeline:
                 plans.append((index, prepared, label, pre_event))
                 state["strategies_used"].append(label)
 
-        texts = self._read([img for _, img, _, _ in plans], states[0])
+        texts = self._read([img for _, img, _, _ in plans],
+                           [states[index] for index, _, _, _ in plans])
         for (index, _, label, pre_event), text in zip(plans, texts):
             state = states[index]
             state["candidates"].append({
@@ -116,7 +117,9 @@ class LockstepPipeline:
                         metrics={"strategy": label}, quiet=self.quiet))
 
         if tiebreak_plans:
-            texts = self._read([img for _, img, _ in tiebreak_plans], states[0])
+            texts = self._read(
+                [img for _, img, _ in tiebreak_plans],
+                [states[index] for index, _, _ in tiebreak_plans])
             for (index, _, label), text in zip(tiebreak_plans, texts):
                 state = states[index]
                 state["candidates"].append({
@@ -140,13 +143,28 @@ class LockstepPipeline:
                 metrics={"merged_chars": len(merged)}, quiet=self.quiet))
         self.ocr.release()
 
-    def _read(self, images, any_state) -> list[str]:
+    def _read(self, images, image_states) -> list[str]:
+        """Batched OCR reads honoring each page's OWN config: reads are
+        grouped by (ocr_prompt, ocr_max_new_tokens) and each group runs
+        as one ``read_batch`` — heterogeneous per-page configs no longer
+        silently inherit page 0's prompt/budget."""
         if not images:
             return []
-        config = any_state["config"]
-        prompt = config.get("ocr_prompt") or _cfg().OCR_PROMPT
-        max_new = config.get("ocr_max_new_tokens") or _cfg().OCR_MAX_NEW_TOKENS
-        return self.ocr.read_batch(images, prompt, max_new)
+        assert len(images) == len(image_states)
+        groups: dict[tuple[str, int], list[int]] = {}
+        for i, state in enumerate(image_states):
+            config = state["config"]
+            prompt = config.get("ocr_prompt") or _cfg().OCR_PROMPT
+            max_new = (config.get("ocr_max_new_tokens")
+                       or _cfg().OCR_MAX_NEW_TOKENS)
+            groups.setdefault((prompt, max_new), []).append(i)
+        texts: list[str] = [""] * len(images)
+        for (prompt, max_new), idxs in groups.items():
+            out = self.ocr.read_batch([images[i] for i in idxs],
+                                      prompt, max_new)
+            for i, text in zip(idxs, out):
+                texts[i] = text
+        return texts
 
     # ── lockstep loop ─────────────────────────────────────────────
     def run_many(self, states: Sequence[OCRState]) -> list[OCRState]:
@@ -291,7 +309,8 @@ class LockstepPipeline:
                 metrics={"strategy": label}, quiet=self.quiet))
             plans.append((i, prepared, label))
 
-        texts = self._read([p for _, p, _ in plans], states[ids[0]])
+        texts = self._read([p for _, p, _ in plans],
+                           [states[i] for i, _, _ in plans])
         versions_by_page = {}
         for (i, _, label), text in zip(plans, texts):
             state = states[i]

@@ -334,6 +334,14 @@ def paged_append_attention(
         qr = jnp.pad(qr, ((0, 0), (0, 0), (0, gt_pad - gt), (0, 0)))
 
     bs = k_pool.shape[2]
+    if quant and t > bs:
+        # The in-kernel scale-page read-modify-write touches exactly two
+        # pages, which covers appends only while the new tokens span at
+        # most one page boundary (t <= BS). Larger appends would silently
+        # drop scales for the third page, corrupting dequantization.
+        raise ValueError(
+            f"int8-KV append of {t} tokens exceeds the block size {bs}; "
+            "the scale RMW covers at most two pages (t <= block_size)")
     ppc = max(1, _CHUNK_TOKENS // bs)
     kernel = functools.partial(_kernel, layer=layer, t=t, scale=scale,
                                quant=quant)

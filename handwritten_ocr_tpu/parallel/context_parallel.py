@@ -114,7 +114,8 @@ def ring_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
                 jnp.zeros((b, chunk, hq, d), jnp.float32))
         # The computed state is device-varying; the init must carry the
         # same varying-axis type for the fori carry to typecheck.
-        zero = jax.tree.map(lambda x: jax.lax.pvary(x, (axis,)), zero)
+        zero = jax.tree.map(
+            lambda x: jax.lax.pcast(x, (axis,), to="varying"), zero)
         perm = [(i, (i + 1) % n) for i in range(n)]
 
         def step(s_i, carry):

@@ -148,6 +148,7 @@ class SchemaSession:
         self._int_digits = ""
         self._decode_cache: dict[int, str] = {}
         self._result: Any = None
+        self.truncated_arrays: list[str] = []
         self._gen = self._walk_object(spec)
         self._pump(None)
 
@@ -209,6 +210,13 @@ class SchemaSession:
                         raw = yield ("string", None)
                         value = _parse_string_value(raw)
                     items.append(value)
+                if len(items) >= _MAX_ARRAY_ITEMS and not self.exhausted:
+                    # Silent caps are worse than noisy ones: record + log
+                    # when the item ceiling (not the model) ended the
+                    # array so truncation is visible to callers.
+                    self.truncated_arrays.append(field.name)
+                    print(f"[schema] array '{field.name}' truncated at "
+                          f"{_MAX_ARRAY_ITEMS} items (cap)")
                 yield ("force", "]")
                 obj[field.name] = items
             elif field.kind == "object":

@@ -183,3 +183,41 @@ def test_jax_chat_batch_matches_single():
     singles = [backend.chat(r.system, r.user, temperature=0.1, max_tokens=6)
                for r in reqs]
     assert batch == singles
+
+
+class PromptRecordingOCR(PageKeyedOCR):
+    """PageKeyedOCR that also records the (prompt, max_new) of each batch."""
+
+    def __init__(self, mapping):
+        super().__init__(mapping)
+        self.batch_params = []
+
+    def read_batch(self, images, prompt, max_new_tokens):
+        self.batch_params.append(
+            (prompt, max_new_tokens, len(images)))
+        return super().read_batch(images, prompt, max_new_tokens)
+
+
+def test_lockstep_honors_per_page_config():
+    """Two pages with different ocr_prompt/ocr_max_new_tokens: each page's
+    reads must use its OWN config (not page 0's)."""
+    base = RunConfig(strategies=[["a"], ["b"]])
+    cfg_a = dict(base.as_state_dict(), ocr_prompt="PROMPT-A",
+                 ocr_max_new_tokens=111)
+    cfg_b = dict(base.as_state_dict(), ocr_prompt="PROMPT-B",
+                 ocr_max_new_tokens=222)
+    ocr_map = {("/pa.png", "a"): "alpha words", ("/pa.png", "b"): "alpha words",
+               ("/pb.png", "a"): "beta words", ("/pb.png", "b"): "beta words"}
+    script = {
+        "alpha words": [critic(95, "accept")],
+        "beta words": [critic(95, "accept")],
+    }
+    states = [initial_state("/pa.png", config=cfg_a, max_iterations=4),
+              initial_state("/pb.png", config=cfg_b, max_iterations=4)]
+    ocr = PromptRecordingOCR(ocr_map)
+    lock = LockstepPipeline(ocr, ContentKeyedLLM(script), quiet=True)
+    finals = lock.run_many(states)
+    assert [s["reason"] for s in finals] == ["accept", "accept"]
+    # Each config group ran as its own batch with its own prompt/budget.
+    assert sorted(ocr.batch_params) == [
+        ("PROMPT-A", 111, 2), ("PROMPT-B", 222, 2)]

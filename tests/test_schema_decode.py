@@ -196,3 +196,34 @@ def test_array_cap():
     assert complete
     result = ArbitratorResult.model_validate(obj)
     assert len(result.uncertain_segments) <= 16
+
+
+def test_array_cap_records_truncation(capsys):
+    """Hitting the item ceiling is recorded + logged (no silent caps)."""
+    session = session_for(ArbitratorResult)
+    script = ["t", '"', "]", "1", "x"] + ['"', "s", '"', ","] * 40
+    drive(session, script)
+    obj, complete = session.result()
+    assert complete
+    if len(ArbitratorResult.model_validate(obj).uncertain_segments) == 16:
+        assert "uncertain_segments" in session.truncated_arrays
+        assert "[schema]" in capsys.readouterr().out
+
+
+def test_integer_no_digit_in_topk_property():
+    """Property: when NO digit token ever appears in the top-k during an
+    integer span, the field concludes to its default/lower bound and the
+    final object still validates — for many random junk scripts."""
+    import random
+    rng = random.Random(7)
+    letters = "abcdefghijklmnopqrstuvwxyz{}:,![]"
+    for trial in range(25):
+        session = session_for(CriticResult)
+        junk = [rng.choice(letters) for _ in range(rng.randint(1, 6))]
+        # integer span sees only junk; then close segments, enum, string.
+        script = junk[:1] + ["]", "a", "x", '"']
+        drive(session, script)
+        obj, complete = session.result()
+        assert complete, trial
+        result = CriticResult.model_validate(obj)
+        assert result.overall_confidence == 0, trial  # lo bound / default

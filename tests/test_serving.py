@@ -458,3 +458,33 @@ def test_quantized_fallback_serving_smoke(tiny):
     live = np.abs(ref) > 0
     err = np.abs(deq - ref)[live].max() if live.any() else 0.0
     assert err < 0.05, err
+
+
+def test_stop_mask_disk_cache(tmp_path, monkeypatch):
+    """The string-stop mask persists across processes via the disk cache
+    (keyed by tokenizer identity) and never re-decodes the vocab."""
+    from handwritten_ocr_tpu.engine import serving as srv
+    from handwritten_ocr_tpu.models.processor import ByteTokenizer
+
+    monkeypatch.setenv("HOCR_CACHE_DIR", str(tmp_path))
+
+    class NamedTok(ByteTokenizer):
+        name_or_path = "toy/byte-tokenizer"
+
+    tok = NamedTok()
+    vocab, eos = 300, 299
+    mask = srv._string_stop_mask(tok, vocab, eos)
+    assert mask[ord('"')] and mask[eos] and not mask[ord("a")]
+    files = list(tmp_path.glob("stop_mask_*.npy"))
+    assert len(files) == 1
+
+    # A fresh process (simulated: cleared in-memory cache) must hit disk,
+    # not decode: poison decode to prove it.
+    srv._STOP_MASK_CACHE.clear()
+
+    class PoisonTok(NamedTok):
+        def decode(self, ids):
+            raise AssertionError("decoded despite disk cache")
+
+    mask2 = srv._string_stop_mask(PoisonTok(), vocab, eos)
+    assert (mask2 == mask).all()
