@@ -234,6 +234,7 @@ def read_throughput_bench(model, cfg, pages, budgets, iters, quant):
         "pages_per_sec": n_pages * iters / elapsed,
         "tokens_per_sec": total_tokens / elapsed,
         "total_tokens": total_tokens,
+        "pages_run": n_pages * iters,
         "stage_seconds": {k: round(v, 3) for k, v in timer.seconds.items()},
         "decode_step_ms": round(step_time * 1e3, 3),
         "decode_sol_step_ms": round(sol_step * 1e3, 3),
@@ -306,23 +307,226 @@ def pipeline_latency_bench(model, cfg, pages, tokenizer) -> dict:
         cfg_mod.LLM_MAX_TOKENS = saved_budget
     latencies.sort()
     return {
-        "p50_page_latency_s": round(latencies[len(latencies) // 2], 3),
-        "p90_page_latency_s": round(latencies[int(len(latencies) * 0.9)], 3),
+        # "reduced": 96-token agent budget, 256-token reads, 2 iterations,
+        # small reasoning stand-in — a PLUMBING latency (full loop, real
+        # architecture), NOT a flagship number. The flagship projection
+        # (p50_flagship_projected_s) composes measured stage costs with
+        # the 32B TP8 step price at the reference's token contract.
+        "p50_page_latency_reduced_s": round(
+            latencies[len(latencies) // 2], 3),
+        "p90_page_latency_reduced_s": round(
+            latencies[int(len(latencies) * 0.9)], 3),
+        "reduced_budgets": {"llm_max_tokens": 96, "ocr_max_new_tokens": 256,
+                            "max_iterations": 2},
         "pages": len(latencies),
     }
 
 
 def cer_oracle_check() -> dict:
-    """CER/WER through the real scoring oracle on a deterministic
-    workload: the dryrun engine's output vs a GT with two known edits."""
+    """Plumbing check of the scoring oracle on a deterministic workload:
+    the dryrun engine's output vs a GT contrived to contain two known
+    edits. This is NOT pipeline accuracy (random/dryrun text has no
+    ground truth); transcription fidelity evidence lives in
+    serving_invariance_ab.json and transform_cer_ab.json."""
     from handwritten_ocr_tpu.engine.dryrun import DryRunOCRBackend
     from handwritten_ocr_tpu.evaluation import evaluate
 
     text = DryRunOCRBackend().read("bench_page.png", "read", 8)
     gt = "#" + text[1:] + " x"                       # known edits
     result = evaluate(text, gt, quiet=True)
-    return {"cer": result["tier1_raw_vs_gt"]["cer"],
-            "wer": result["tier1_raw_vs_gt"]["wer"]}
+    return {"cer_oracle_plumbing_check": result["tier1_raw_vs_gt"]["cer"],
+            "wer_oracle_plumbing_check": result["tier1_raw_vs_gt"]["wer"]}
+
+
+def qwen3_step_read_bytes(cfg, batch: int, mean_ctx: int, *,
+                          quant: bool = True, kv_quant: bool = True,
+                          tp: int = 1) -> float:
+    """Per-chip HBM bytes read per decode step for a Qwen3 decoder at
+    TP degree ``tp``: every weight once (embed excluded — a row gather)
+    plus the KV window. The bandwidth floor of the reasoning engine."""
+    from handwritten_ocr_tpu.parallel.budget import qwen3_param_bytes
+    weights = qwen3_param_bytes(cfg, "int8" if quant else None)
+    weights -= cfg.vocab_size * cfg.hidden_size * 2        # embed gather
+    kv_bytes = 1 if kv_quant else 2
+    kv = (2 * cfg.num_hidden_layers * batch * mean_ctx
+          * cfg.num_key_value_heads * cfg.head_dim * kv_bytes)
+    return (weights + kv) / tp
+
+
+def reasoning_bench() -> dict:
+    """Price the reasoning engine at realistic scale: an 8B-class Qwen3
+    (4096 hidden / 36 layers / 32:8 GQA — the largest class one 16 GB
+    chip serves in int8) through the production ContinuousBatcher on
+    editor-style prompts, plus a schema-guided agent batch.
+
+    Random weights measure THROUGHPUT faithfully (weight-value-
+    independent) but cannot demonstrate speculative acceptance (no
+    induction heads -> drafts never match); acceptance mechanics are
+    measured in scripts/spec_ab.py (dispatch economics: ceiling 10.5x at
+    full acceptance) and bit-tested in tests/test_serving.py.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from handwritten_ocr_tpu.agents.schemas import CriticResult
+    from handwritten_ocr_tpu.engine.serving import (
+        ContinuousBatcher, GenRequest, PagedProgram)
+    from handwritten_ocr_tpu.models.init import init_qwen3
+    from handwritten_ocr_tpu.models.processor import ByteTokenizer
+    from handwritten_ocr_tpu.models.qwen3 import Qwen3Config
+
+    use_tpu = jax.default_backend() == "tpu"
+    if use_tpu:
+        cfg = Qwen3Config(vocab_size=151936, hidden_size=4096,
+                          intermediate_size=12288, num_hidden_layers=36,
+                          num_attention_heads=32, num_key_value_heads=8,
+                          head_dim=128, eos_token_id=-1)
+        batch, budget, prompt_len = 8, 384, 1024
+    else:                                  # CPU smoke tier
+        cfg = Qwen3Config(vocab_size=8192, hidden_size=64,
+                          intermediate_size=128, num_hidden_layers=2,
+                          num_attention_heads=4, num_key_value_heads=2,
+                          head_dim=16, eos_token_id=-1)
+        batch, budget, prompt_len = 2, 16, 64
+    dtype = jnp.bfloat16 if use_tpu else jnp.float32
+    params = init_qwen3(jax.random.PRNGKey(7), cfg, dtype=dtype,
+                        quantize="int8" if use_tpu else None)
+    program = PagedProgram(params, cfg, eos_token_id=-1)
+
+    # Editor-style prompts: a long passage the output could copy (tiled
+    # n-gram structure so the drafter has material).
+    rng = np.random.default_rng(5)
+    period = rng.integers(1, cfg.vocab_size - 64, size=128)
+    prompts = [np.tile(period, prompt_len // 128).astype(np.int32)
+               for _ in range(batch)]
+    max_ctx = prompt_len + budget + 64
+
+    from handwritten_ocr_tpu import config as cfg_mod
+    kv_quant = use_tpu and cfg_mod.SERVE_KV_INT8
+
+    timer = _StageTimer()
+    program.decode_chunk = timer.wrap("decode", program.decode_chunk)
+
+    def run(speculate: bool):
+        batcher = ContinuousBatcher(
+            program, n_slots=batch, block_size=cfg_mod.SERVE_BLOCK_SIZE,
+            max_context=max_ctx, chunk=cfg_mod.SERVE_CHUNK,
+            dtype=dtype, kv_quant=kv_quant)
+        requests = [GenRequest(p, budget, speculate=speculate)
+                    for p in prompts]
+        start = time.perf_counter()
+        out = batcher.run(requests)
+        elapsed = time.perf_counter() - start
+        total = sum(len(t) for t in out)
+        return total, elapsed, dict(batcher.spec_stats)
+
+    run(False)                                # compile + warm
+    timer.reset()
+    total, plain_s, _ = run(False)
+    decode_steps = timer.calls.get("decode", 0) * cfg_mod.SERVE_CHUNK
+    step_s = timer.seconds.get("decode", plain_s) / max(decode_steps, 1)
+    _, spec_s, spec_stats = run(True)
+    floor_s = qwen3_step_read_bytes(
+        cfg, batch, prompt_len + budget // 2,
+        quant=use_tpu, kv_quant=kv_quant) / HBM_BYTES_PER_S
+
+    # Schema-guided agent batch (the production critic/editor surface).
+    tok = ByteTokenizer()
+    schema = CriticResult.model_json_schema()
+    guided_budget = min(budget, 256)
+
+    def run_guided():
+        batcher = ContinuousBatcher(
+            program, n_slots=batch, block_size=cfg_mod.SERVE_BLOCK_SIZE,
+            max_context=max_ctx, chunk=cfg_mod.SERVE_CHUNK,
+            dtype=dtype, kv_quant=kv_quant)
+        requests = [GenRequest(p, guided_budget, speculate=True)
+                    for p in prompts]
+        start = time.perf_counter()
+        outcomes = batcher.run_guided(requests, schema, tok)
+        return outcomes, time.perf_counter() - start
+
+    run_guided()                              # compile + warm
+    outcomes, guided_s = run_guided()
+
+    return {
+        "model_class": (f"qwen3-8B-class {cfg.hidden_size}h/"
+                        f"{cfg.num_hidden_layers}L int8" if use_tpu
+                        else "tiny-smoke"),
+        "reasoning_tokens_per_sec": round(total / plain_s, 1),
+        "reasoning_step_ms": round(step_s * 1e3, 3),
+        "reasoning_sol_step_ms": round(floor_s * 1e3, 3),
+        "reasoning_sol_pct": round(100 * floor_s / step_s, 1),
+        "spec_overhead_pct": round(100 * (spec_s / plain_s - 1), 1),
+        "spec_stats": spec_stats,
+        "guided_agent_batch_s": round(guided_s, 2),
+        "guided_complete": sum(complete for _, complete in outcomes),
+        "workload": {"batch": batch, "prompt_len": prompt_len,
+                     "budget": budget},
+    }
+
+
+def flagship_projection(read: dict, reasoning: dict,
+                        mean_read_budget: float) -> dict:
+    """Projected flagship p50 per-page latency: measured 7B read stages
+    composed with the 32B TP8 reasoning step price at the reference's
+    call structure (critic/editor qwen3:32b, ref tools.py:149-208; token
+    cap 4096/call, ref config.py:10).
+
+    32B TP8 step price = analytic HBM floor per chip (budget.py weight
+    arithmetic) / the MEASURED SoL fraction of the 8B-class engine on
+    this chip — i.e. the 32B step inherits the real engine's efficiency,
+    not an idealized 100%-of-bandwidth assumption. ICI all-reduce bytes
+    per step (2 collectives/layer x batch x hidden) are <1% of the
+    weight read at v5e ICI bandwidth and are folded into the efficiency
+    factor."""
+    from handwritten_ocr_tpu.models.qwen3 import Qwen3Config
+
+    cfg32 = Qwen3Config()                  # defaults = qwen3:32b dims
+    tp = 8
+    sol_frac = reasoning["reasoning_sol_pct"] / 100.0
+    floor32 = qwen3_step_read_bytes(cfg32, batch=8, mean_ctx=3072,
+                                    tp=tp) / HBM_BYTES_PER_S
+    step32 = floor32 / max(sol_frac, 1e-6)
+
+    # Measured per-page read stage costs (batch-amortized; the two
+    # strategy reads of one page decode in PARALLEL slots, so decode
+    # wall-clock is one budget, not two).
+    stages = read["stage_seconds"]
+    pages_total = read.get("pages_run", 1)
+    per_page = {k: v / pages_total for k, v in stages.items()}
+    read_fixed = (per_page.get("preprocess", 0.0)
+                  + per_page.get("vision", 0.0)
+                  + per_page.get("prefill", 0.0)) * 2     # 2 strategy reads
+    read_decode = mean_read_budget * read["decode_step_ms"] / 1e3
+    reads_s = read_fixed + read_decode
+
+    # Median iteration structure: initial_ocr -> critic -> editor ->
+    # critic -> accept (2 critic + 1 editor calls). Per-call decode
+    # lengths: critic emits issues+segments JSON (~700 tokens), the
+    # editor returns the whole corrected page (~page length + change
+    # list, ~900 tokens). The contract ceiling prices every call at the
+    # full 4,096-token cap instead.
+    typical_tokens = 2 * 700 + 900
+    ceiling_tokens = 3 * 4096
+    reasoning_typical = typical_tokens * step32
+    reasoning_ceiling = ceiling_tokens * step32
+
+    return {
+        "p50_flagship_projected_s": round(reads_s + reasoning_typical, 2),
+        "flagship_contract_ceiling_s": round(
+            reads_s + reasoning_ceiling, 2),
+        "projection_terms": {
+            "read_fixed_s": round(read_fixed, 3),
+            "read_decode_s": round(read_decode, 3),
+            "step_32b_tp8_ms": round(step32 * 1e3, 3),
+            "floor_32b_tp8_ms": round(floor32 * 1e3, 3),
+            "measured_sol_frac_8b": round(sol_frac, 3),
+            "agent_tokens_typical": typical_tokens,
+            "agent_tokens_ceiling": ceiling_tokens,
+            "calls": "2 critic + 1 editor (median accept at iteration 2)",
+        },
+    }
 
 
 def main() -> None:
@@ -334,6 +538,11 @@ def main() -> None:
     fast = os.environ.get("HOCR_BENCH_FAST") == "1"
 
     import jax
+
+    # The axon TPU plugin registers itself regardless of JAX_PLATFORMS;
+    # forcing through jax.config wins (same trick as conftest.py).
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        jax.config.update("jax_platforms", "cpu")
 
     cache_dir = Path(__file__).parent / ".jax_cache"
     try:
@@ -377,6 +586,14 @@ def main() -> None:
         detail.update(cer_oracle_check())
         detail.update(pipeline_latency_bench(model, cfg, pages[:4],
                                              ByteTokenizer()))
+        # Free the VL engine before the realistic-scale reasoning bench
+        # (the 8B-class int8 Qwen3 needs the HBM the VLM held).
+        del model, params
+        gc.collect()
+        reasoning = reasoning_bench()
+        detail["reasoning"] = reasoning
+        detail["flagship_projection"] = flagship_projection(
+            read, reasoning, float(np.mean(budgets)))
 
     vs_baseline = None
     baseline_file = Path(__file__).parent / "bench_baseline.json"

@@ -1,4 +1,4 @@
-"""Root pytest config: import path + virtual multi-device CPU mesh.
+"""Root pytest config: import path, virtual multi-device CPU mesh, tiers.
 
 Tests run on CPU with an 8-device virtual mesh
 (``--xla_force_host_platform_device_count=8``) so multi-chip sharding code
@@ -6,6 +6,12 @@ paths are exercised without TPU hardware. The axon TPU plugin registers
 itself from sitecustomize regardless of ``JAX_PLATFORMS``, so the platform
 must be forced through ``jax.config`` (which wins over the plugin), and the
 XLA flag must be set before the backend initializes.
+
+Three tiers (documented in README):
+  -m fast        inner-loop subset (<~2 min): pure-Python + tiny-jax tests
+  (default)      the full CPU suite
+  -m tpu         on-chip kernel checks — run with HOCR_TEST_TPU=1 on a TPU
+                 host (keeps the real backend instead of forcing CPU)
 """
 
 import os
@@ -19,8 +25,46 @@ if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
-os.environ["JAX_PLATFORMS"] = "cpu"
+
+_USE_TPU = os.environ.get("HOCR_TEST_TPU") == "1"
+if not _USE_TPU:
+    os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax  # noqa: E402  (must import after env setup)
 
-jax.config.update("jax_platforms", "cpu")
+if not _USE_TPU:
+    jax.config.update("jax_platforms", "cpu")
+
+# Modules dominated by jitted-model or kernel work (slow on the 1-core CPU
+# host); everything else is auto-marked "fast". Measured per-module wall
+# times drive this list — keep `pytest -m fast` under ~2 minutes.
+_SLOW_MODULES = {
+    "test_serving",
+    "test_lockstep",
+    "test_schema_decode",
+    "test_paged_kernel",
+    "test_context_parallel",
+    "test_models_parity",
+    "test_flash_attention",
+    "test_flash_integration",
+    "test_engines",
+    "test_parallel",
+    "test_quant",
+    "test_ops",
+    "test_checkpoint",
+    "test_train_data",
+    "test_json_guard",
+    "test_prefetch",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    import pytest
+    for item in items:
+        module = item.module.__name__ if item.module else ""
+        if any(mark.name == "tpu" for mark in item.iter_markers()):
+            continue
+        if module in _SLOW_MODULES:
+            item.add_marker(pytest.mark.slow)
+        else:
+            item.add_marker(pytest.mark.fast)

@@ -1,0 +1,464 @@
+#!/usr/bin/env python3
+"""On-chip A/B: the SHIPPED serving config vs the dense decoder.
+
+Round-2 verdict: the exact configuration the bench runs (int8 KV cache,
+24 decode slots, speculation on, guided decode for agents) had no on-chip
+evidence that its greedy transcriptions match the dense bf16 decoder —
+the paged==dense bit-equality tests deliberately run CPU full-precision
+KV. This script closes that gap on the real TPU at 7B *widths* (hidden
+3584 / vocab 152064 / GQA 28:4 — reduced depth so the bf16 dense copy
+fits one 16 GiB chip; per-layer numerics are the flagship's).
+
+Surfaces and cells (every pair reports token agreement, CER(A,B) through
+the real scoring oracle, first-divergence indices, and the DENSE logit
+margin at each divergence):
+
+  VL read path (the transcription surface, ref tools.py:764-765):
+    control_dense_tiling   dense generate batch 32 vs batch 8 — XLA's own
+                           batch-shape numerics noise; the calibration
+                           band every other cell is judged against.
+    paged_fp_vs_dense      24-slot continuous batcher, full-precision KV.
+    paged_int8kv_vs_dense  + int8 KV (the SHIPPED read config).
+    weights_int8_vs_bf16   dense int8 weights vs dense bf16 weights
+                           (weight-quant fidelity, dense both sides).
+
+  Reasoning path (critic/editor/arbitrator, ref tools.py:149-208):
+    reasoning_paged_fp / reasoning_paged_int8kv_spec vs dense generate —
+    speculation ON in the production cell (greedy-invisible by
+    construction; spec_stats reported).
+
+  Guided decode (schema-constrained agents):
+    guided_prod_vs_base    run_guided with int8 KV + speculation vs
+                           run_guided with fp KV, spec off — JSON string
+                           equality per request.
+
+Random init weights are deliberately chaos-sensitive (near-tie logits
+everywhere, no trained margins), so agreement is judged against the
+dense-tiling control, and every divergence is *explained* by its dense
+margin: a divergence at a margin inside the control band is numerics
+noise, not a serving bug.
+
+Usage: python scripts/serving_invariance_ab.py   (HOCR_AB_SCALE=tiny for
+a CPU smoke run; HOCR_AB_CAP caps per-page budgets). Writes
+serving_invariance_ab.json at the repo root.
+"""
+
+from __future__ import annotations
+
+import gc
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+import numpy as np
+
+SCALE = os.environ.get("HOCR_AB_SCALE", "7b")
+CAP = int(os.environ.get("HOCR_AB_CAP", "320" if SCALE == "7b" else "24"))
+N_PAGES = int(os.environ.get("HOCR_AB_PAGES", "32" if SCALE == "7b" else "4"))
+SLOTS = 24 if SCALE == "7b" else 2
+REPORT = Path(__file__).parent.parent / "serving_invariance_ab.json"
+
+
+def save(report: dict) -> None:
+    """Write the report after EVERY cell: a late OOM must not lose
+    hundreds of chip-seconds of completed comparisons."""
+    REPORT.write_text(json.dumps(report, indent=2) + "\n")
+
+
+def vl_config():
+    from handwritten_ocr_tpu.models.qwen25vl.config import (
+        TextConfig, VisionConfig, VLConfig)
+    if SCALE == "tiny":
+        return VLConfig(
+            vision=VisionConfig(depth=2, hidden_size=64,
+                                intermediate_size=128, num_heads=4,
+                                out_hidden_size=64,
+                                fullatt_block_indexes=(1,)),
+            text=TextConfig(vocab_size=8192, hidden_size=64,
+                            intermediate_size=128, num_hidden_layers=2,
+                            num_attention_heads=4, num_key_value_heads=2,
+                            mrope_section=(2, 3, 3)),
+            eos_token_id=-1)
+    # 7B widths, depth reduced so weights + KV + dense bf16 copy fit
+    # 16 GiB sequentially (per-layer shapes identical to the flagship).
+    layers = int(os.environ.get("HOCR_AB_TEXT_LAYERS", "10"))
+    return VLConfig(
+        vision=VisionConfig(depth=32, hidden_size=1280,
+                            intermediate_size=3420, num_heads=16,
+                            out_hidden_size=3584,
+                            fullatt_block_indexes=(7, 15, 23, 31)),
+        text=TextConfig(vocab_size=152064, hidden_size=3584,
+                        intermediate_size=18944, num_hidden_layers=layers,
+                        num_attention_heads=28, num_key_value_heads=4,
+                        mrope_section=(16, 24, 24)),
+        eos_token_id=-1)          # random weights: run full budgets
+
+
+def qwen3_config():
+    from handwritten_ocr_tpu.models.qwen3 import Qwen3Config
+    if SCALE == "tiny":
+        return Qwen3Config(vocab_size=8192, hidden_size=64,
+                           intermediate_size=128, num_hidden_layers=2,
+                           num_attention_heads=4, num_key_value_heads=2,
+                           head_dim=16, eos_token_id=-1)
+    layers = int(os.environ.get("HOCR_AB_LLM_LAYERS", "28"))
+    return Qwen3Config(vocab_size=152064, hidden_size=3584,
+                       intermediate_size=18944, num_hidden_layers=layers,
+                       num_attention_heads=28, num_key_value_heads=4,
+                       head_dim=128, eos_token_id=-1)
+
+
+# ── comparison metrics ────────────────────────────────────────────────
+def compare_pair(a_lists, b_lists):
+    """Token agreement + CER + first-divergence indices for paired runs."""
+    from handwritten_ocr_tpu.text.metrics import tier1_metrics
+    agrees, cers, first_divs = [], [], []
+    identical = 0
+    for a, b in zip(a_lists, b_lists):
+        n = max(len(a), len(b), 1)
+        matched = sum(x == y for x, y in zip(a, b))
+        agrees.append(matched / n)
+        cers.append(tier1_metrics(" ".join(map(str, a)),
+                                  " ".join(map(str, b)))["cer"])
+        div = next((i for i, (x, y) in enumerate(zip(a, b)) if x != y),
+                   -1 if len(a) == len(b) else min(len(a), len(b)))
+        first_divs.append(div)
+        identical += div == -1
+    return {
+        "pages": len(a_lists),
+        "pages_identical": identical,
+        "token_agreement": round(float(np.mean(agrees)), 4),
+        "cer_ab": round(float(np.mean(cers)), 4),
+        "first_divergence": first_divs,
+    }
+
+
+def margin_stats(margins):
+    if not margins:
+        return {"divergences": 0}
+    arr = np.array([m["margin"] for m in margins])
+    return {
+        "divergences": len(margins),
+        "margin_min": round(float(arr.min()), 5),
+        "margin_max": round(float(arr.max()), 5),
+        "margin_mean": round(float(arr.mean()), 5),
+        "b_token_in_dense_top2": sum(m["pair_in_top2"] for m in margins),
+    }
+
+
+# ── VL read surface ───────────────────────────────────────────────────
+def run_vl_phase(report):
+    import jax
+    import jax.numpy as jnp
+
+    from handwritten_ocr_tpu.engine.serving import (ContinuousBatcher,
+                                                    GenRequest, PagedProgram)
+    from handwritten_ocr_tpu.models.init import init_vl
+    from handwritten_ocr_tpu.models.processor import pack_image_device
+    from handwritten_ocr_tpu.models.qwen25vl.language import (lm_logits,
+                                                              text_forward)
+    from handwritten_ocr_tpu.models.qwen25vl.model import (
+        VLModel, rope_index_for_prompt)
+    from bench import page_token_budgets, synthetic_pages
+
+    cfg = vl_config()
+    if SCALE == "7b":
+        pages = synthetic_pages(N_PAGES)
+    else:  # synthetic_pages needs room for strokes; tiny uses raw noise
+        rng = np.random.default_rng(0)
+        pages = [rng.integers(0, 255, (56, 56, 3)).astype(np.uint8)
+                 for _ in range(N_PAGES)]
+    budgets = page_token_budgets(N_PAGES, CAP)
+    dtype = jnp.bfloat16 if jax.default_backend() != "cpu" else jnp.float32
+
+    patches_list, grid = [], None
+    for page in pages:
+        patches, grid = pack_image_device(jnp.asarray(page))
+        patches_list.append(patches)
+    patches_all = jnp.stack(patches_list)
+    grid = tuple(int(g) for g in grid)
+    n_llm = grid[0] * grid[1] * grid[2] // 4
+
+    head = [151644, 872, 198, 151652]
+    tail = [151653] + list(range(100, 130)) + [151645, 198, 151644, 77091,
+                                               198]
+    ids_row = np.array(head + [cfg.image_token_id] * n_llm + tail, np.int32)
+    positions, delta = rope_index_for_prompt(ids_row, cfg, [grid])
+    prompt_len = len(ids_row)
+    max_budget = max(budgets)
+
+    def dense_run(model, rows):
+        ids = np.tile(ids_row, (len(rows), 1))
+        gen = model.generate(ids, patches_all[np.array(rows)], grid,
+                             max_budget)
+        tokens = np.asarray(gen.tokens)
+        return [tokens[r, :budgets[page]].tolist()
+                for r, page in enumerate(rows)]
+
+    def paged_run(model, kv_quant):
+        program = PagedProgram(model.params["text"], cfg.text,
+                               eos_token_id=cfg.eos_token_id)
+        max_ctx = prompt_len + max_budget
+        batcher = ContinuousBatcher(
+            program, n_slots=min(SLOTS, N_PAGES), block_size=128,
+            max_context=max_ctx, chunk=16, dtype=dtype, kv_quant=kv_quant)
+        embeds = model.prompt_embeds(model.params,
+                                     jnp.asarray(np.tile(ids_row,
+                                                         (N_PAGES, 1))),
+                                     patches_all, grid)
+        requests = [GenRequest(prompt_ids=ids_row, max_new=budgets[i],
+                               positions=positions, rope_delta=delta,
+                               embeds=embeds[i])
+                    for i in range(N_PAGES)]
+        out = batcher.run(requests)
+        del batcher
+        gc.collect()
+        return out
+
+    # Dense teacher-forced logit margins at divergence positions: feed
+    # prompt + the common generated prefix, read the top-2 margin at the
+    # position that produced the first diverging token.
+    pad_len = prompt_len + max_budget
+    tail_pos = positions.max() + 1 + np.arange(max_budget)
+
+    @jax.jit
+    def dense_last_logits(params, embeds, position_ids, index):
+        hidden, _ = text_forward(params["text"], cfg.text, embeds[None],
+                                 position_ids[:, None], cache=None)
+        last = jax.lax.dynamic_slice_in_dim(hidden, index, 1, axis=1)
+        return lm_logits(params["text"], cfg.text, last)[0, 0]
+
+    def divergence_margins(model, prompt_embeds_all, a_lists, b_lists,
+                           limit=8):
+        out = []
+        for page, (a, b) in enumerate(zip(a_lists, b_lists)):
+            if len(out) >= limit:
+                break
+            div = next((i for i, (x, y) in enumerate(zip(a, b)) if x != y),
+                       None)
+            if div is None:
+                continue
+            gen_prefix = np.array(b[:div], np.int32)
+            gen_embeds = model.params["text"]["embed"]["w"][
+                jnp.asarray(np.concatenate(
+                    [gen_prefix,
+                     np.zeros(max_budget - div, np.int32)]))]
+            embeds = jnp.concatenate(
+                [prompt_embeds_all[page], gen_embeds], axis=0)
+            pos = np.concatenate([positions, np.broadcast_to(
+                tail_pos[None], (3, max_budget))], axis=1)
+            logits = np.asarray(dense_last_logits(
+                model.params, embeds, jnp.asarray(pos),
+                prompt_len + div - 1), np.float32)
+            top2 = np.argsort(logits)[-2:][::-1]
+            margin = float(logits[top2[0]] - logits[top2[1]])
+            out.append({"page": page, "index": div,
+                        "margin": round(margin, 5),
+                        "pair_in_top2": {a[div], b[div]} == set(
+                            int(t) for t in top2)})
+        return out
+
+    # Phase 1: int8 weights (the production weights).
+    params = init_vl(jax.random.PRNGKey(0), cfg, dtype=dtype,
+                     quantize="int8" if SCALE == "7b" else None)
+    model = VLModel(params, cfg)
+    t0 = time.perf_counter()
+    b1 = dense_run(model, list(range(N_PAGES)))
+    print(f"[vl] dense int8 batch{N_PAGES}: {time.perf_counter()-t0:.0f}s",
+          flush=True)
+    b1c = dense_run(model, list(range(min(8, N_PAGES))))
+    report["control_dense_tiling"] = {
+        "what": "dense generate batch %d vs batch %d — XLA batch-shape "
+                "numerics noise, no serving machinery" % (N_PAGES,
+                                                          min(8, N_PAGES)),
+        **compare_pair(b1[:len(b1c)], b1c)}
+    prompt_embeds_all = model.prompt_embeds(
+        model.params, jnp.asarray(np.tile(ids_row, (N_PAGES, 1))),
+        patches_all, grid)
+    report["control_dense_tiling"]["margins"] = margin_stats(
+        divergence_margins(model, prompt_embeds_all, b1[:len(b1c)], b1c))
+    save(report)
+
+    for name, kv_quant in (("paged_fp_vs_dense", False),
+                           ("paged_int8kv_vs_dense", True)):
+        t0 = time.perf_counter()
+        a = paged_run(model, kv_quant)
+        print(f"[vl] {name}: {time.perf_counter()-t0:.0f}s", flush=True)
+        cell = compare_pair(a, b1)
+        cell["margins"] = margin_stats(
+            divergence_margins(model, prompt_embeds_all, a, b1))
+        cell["what"] = ("%d-slot continuous batcher (%s KV) vs dense "
+                        "generate, same int8 weights"
+                        % (min(SLOTS, N_PAGES),
+                           "int8" if kv_quant else "full-precision"))
+        report[name] = cell
+        print(f"[vl] {name}: agreement {cell['token_agreement']}, "
+              f"{cell['pages_identical']}/{cell['pages']} identical",
+              flush=True)
+        save(report)
+
+    del model, params, prompt_embeds_all
+    import jax as _jax
+    _jax.clear_caches()      # drop jit executables + their workspace
+    gc.collect()
+
+    # Phase 2: bf16 weights (same seed → same underlying sample).
+    if SCALE == "7b":
+        params = init_vl(jax.random.PRNGKey(0), cfg, dtype=dtype)
+        model = VLModel(params, cfg)
+        b2 = dense_run(model, list(range(N_PAGES)))
+        report["weights_int8_vs_bf16"] = {
+            "what": "dense generate, int8 weights vs bf16 weights "
+                    "(weight-quant fidelity; serving machinery identical)",
+            **compare_pair(b1, b2)}
+        save(report)
+        del model, params
+        _jax.clear_caches()
+        gc.collect()
+
+
+# ── reasoning + guided surfaces ───────────────────────────────────────
+def run_reasoning_phase(report):
+    import jax
+    import jax.numpy as jnp
+
+    from handwritten_ocr_tpu.agents.schemas import CriticResult
+    from handwritten_ocr_tpu.engine.serving import (ContinuousBatcher,
+                                                    GenRequest, PagedProgram)
+    from handwritten_ocr_tpu.models.init import init_qwen3
+    from handwritten_ocr_tpu.models.processor import ByteTokenizer
+    from handwritten_ocr_tpu.models.qwen3 import Qwen3Model
+    from bench import page_token_budgets
+
+    cfg = qwen3_config()
+    dtype = jnp.bfloat16 if jax.default_backend() != "cpu" else jnp.float32
+    params = init_qwen3(jax.random.PRNGKey(1), cfg, dtype=dtype,
+                        quantize="int8" if SCALE == "7b" else None)
+    model = Qwen3Model(params, cfg)
+    n_req = min(SLOTS, N_PAGES)
+    budgets = page_token_budgets(n_req, min(CAP, 192))
+
+    # Critic-style prompts: instructions + a repetitive passage (n-gram
+    # draft material for the speculation cell).
+    tok = ByteTokenizer()
+    base = ("<|im_start|>system\nYou review transcriptions."
+            "<|im_end|>\n<|im_start|>user\nTranscription:\n")
+    passage = "the quick brown fox jumps over the lazy dog. "
+    prompts = [np.asarray(tok.encode(base + passage * (4 + i % 5)
+                                     + "<|im_end|>\n<|im_start|>assistant\n"),
+                          np.int32)
+               for i in range(n_req)]
+    max_budget = max(budgets)
+    longest = max(len(p) for p in prompts)
+
+    def dense_run():
+        pad = np.zeros((n_req, longest), np.int32)
+        mask = np.zeros((n_req, longest), bool)
+        for row, ids in enumerate(prompts):
+            pad[row, longest - len(ids):] = ids
+            mask[row, longest - len(ids):] = True
+        gen = model.generate(pad, max_budget, pad_mask=mask)
+        tokens = np.asarray(gen.tokens)
+        return [tokens[r, :budgets[r]].tolist() for r in range(n_req)]
+
+    def paged_run(kv_quant, speculate):
+        program = PagedProgram(params, cfg, eos_token_id=cfg.eos_token_id)
+        batcher = ContinuousBatcher(
+            program, n_slots=n_req, block_size=128,
+            max_context=longest + max_budget + 64, chunk=16, dtype=dtype,
+            kv_quant=kv_quant)
+        out = batcher.run([GenRequest(p, budgets[i], speculate=speculate)
+                           for i, p in enumerate(prompts)])
+        stats = dict(batcher.spec_stats)
+        del batcher
+        gc.collect()
+        return out, stats
+
+    b = dense_run()
+    for name, kv_quant, speculate in (
+            ("reasoning_paged_fp_vs_dense", False, False),
+            ("reasoning_paged_int8kv_spec_vs_dense", True, True)):
+        t0 = time.perf_counter()
+        a, stats = paged_run(kv_quant, speculate)
+        print(f"[llm] {name}: {time.perf_counter()-t0:.0f}s", flush=True)
+        cell = compare_pair(a, b)
+        cell["what"] = ("%d-slot batcher (%s KV, speculation %s) vs dense "
+                        "generate, same weights"
+                        % (n_req, "int8" if kv_quant else "fp",
+                           "on" if speculate else "off"))
+        if speculate:
+            cell["spec_stats"] = stats
+        report[name] = cell
+        save(report)
+
+    # Guided decode: production (int8 KV + spec) vs base (fp KV, no spec).
+    schema = CriticResult.model_json_schema()
+    guided_budget = min(CAP, 192)
+
+    def guided_run(kv_quant, speculate):
+        program = PagedProgram(params, cfg, eos_token_id=cfg.eos_token_id)
+        batcher = ContinuousBatcher(
+            program, n_slots=n_req, block_size=128,
+            max_context=longest + guided_budget + 64, chunk=16,
+            dtype=dtype, kv_quant=kv_quant)
+        outcomes = batcher.run_guided(
+            [GenRequest(p, guided_budget, speculate=speculate)
+             for p in prompts], schema, tok)
+        stats = dict(batcher.spec_stats)
+        del batcher
+        gc.collect()
+        return outcomes, stats
+
+    t0 = time.perf_counter()
+    base_out, _ = guided_run(False, False)
+    prod_out, prod_stats = guided_run(True, True)
+    print(f"[llm] guided A+B: {time.perf_counter()-t0:.0f}s", flush=True)
+    matches = sum(json.dumps(a[0], sort_keys=True)
+                  == json.dumps(b_[0], sort_keys=True)
+                  for a, b_ in zip(prod_out, base_out))
+    valid = sum(obj is not None and complete for obj, complete in prod_out)
+    report["guided_prod_vs_base"] = {
+        "what": "run_guided with int8 KV + speculation vs run_guided with "
+                "fp KV, spec off — JSON equality per request",
+        "requests": n_req,
+        "json_identical": matches,
+        "prod_schema_valid": valid,
+        "spec_stats": prod_stats,
+    }
+    save(report)
+    del model, params
+    gc.collect()
+
+
+def main():
+    import jax
+    # The axon TPU plugin registers itself regardless of JAX_PLATFORMS;
+    # forcing through jax.config wins (same trick as conftest.py).
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    cache_dir = Path(__file__).parent.parent / ".jax_cache"
+    try:
+        jax.config.update("jax_compilation_cache_dir", str(cache_dir))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
+
+    report = {
+        "scale": SCALE,
+        "backend": jax.default_backend(),
+        "config": {"pages": N_PAGES, "budget_cap": CAP, "slots": SLOTS},
+    }
+    run_vl_phase(report)
+    import jax as _jax
+    _jax.clear_caches()
+    run_reasoning_phase(report)
+    save(report)
+    print(json.dumps(report, indent=2))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,132 @@
+"""On-chip kernel checks (``pytest -m tpu``).
+
+The CPU suite guards the portable fallbacks; these tests guard the Pallas
+kernels' behavior on real TPU hardware — the round-2 gap where on-chip
+kernel parity lived only in hand-run ``scripts/tpu_paged_check.py``.
+
+Run on the bench chip with::
+
+    HOCR_TEST_TPU=1 python -m pytest tests/ -m tpu -q
+
+(``HOCR_TEST_TPU=1`` stops conftest.py from forcing the CPU backend.)
+Everything here skips automatically when no TPU is present, so the
+default CPU suite is unaffected.
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.tpu
+
+sys.path.insert(0, str(Path(__file__).parent.parent / "scripts"))
+
+
+def _require_tpu():
+    import jax
+    if jax.default_backend() != "tpu":
+        pytest.skip("TPU backend not available (run with HOCR_TEST_TPU=1 "
+                    "on a TPU host)")
+
+
+@pytest.mark.parametrize("t", [1, 9])
+def test_paged_kernel_numeric_bound(t):
+    """Fused append+attention kernel vs an fp32 gather+softmax reference:
+    appends land bit-exactly and attention stays inside bf16 accumulation
+    noise. An indexing bug produces O(1) errors, not O(1e-3)."""
+    _require_tpu()
+    import tpu_paged_check
+    bound = tpu_paged_check.direct_numeric_bound(t)
+    assert bound < 0.02, f"kernel numeric bound blown: {bound}"
+
+
+@pytest.mark.parametrize("dtype_name", ["f32", "bf16"])
+def test_paged_kernel_vs_gather_decode(dtype_name):
+    """Kernel-path decode vs the portable gather path end to end. Exact
+    equality is NOT expected (online softmax reassociates accumulation;
+    random-weight logits sit in near-ties) — require strong agreement."""
+    _require_tpu()
+    import os
+
+    import tpu_paged_check
+    os.environ.pop("HOCR_TPU_PAGED", None)
+    kernel_tokens = tpu_paged_check.run(dtype_name)
+    os.environ["HOCR_TPU_PAGED"] = "0"
+    try:
+        gather_tokens = tpu_paged_check.run(dtype_name)
+    finally:
+        os.environ.pop("HOCR_TPU_PAGED", None)
+    agrees = [sum(x == y for x, y in zip(a, b)) / max(len(a), len(b), 1)
+              for a, b in zip(kernel_tokens, gather_tokens)]
+    assert float(np.mean(agrees)) >= 0.8, agrees
+
+
+def test_int8_kv_serving_on_chip():
+    """int8-KV continuous batching on the production block size (128):
+    the quantize-on-append / dequantize-in-score-space kernel path
+    compiles, runs, and matches the fp-KV run's tokens closely."""
+    _require_tpu()
+    import jax
+    import jax.numpy as jnp
+
+    from handwritten_ocr_tpu.engine.serving import (
+        ContinuousBatcher, GenRequest, PagedProgram)
+    from handwritten_ocr_tpu.models.init import init_qwen3
+    from handwritten_ocr_tpu.models.qwen3 import Qwen3Config
+
+    cfg = Qwen3Config(vocab_size=2048, hidden_size=256,
+                      intermediate_size=512, num_hidden_layers=4,
+                      num_attention_heads=8, num_key_value_heads=4,
+                      head_dim=128, eos_token_id=0, pad_token_id=0)
+    params = init_qwen3(jax.random.PRNGKey(21), cfg, dtype=jnp.bfloat16)
+    program = PagedProgram(params, cfg)
+    rng = np.random.default_rng(5)
+    prompts = [rng.integers(1, 2000, size=n).tolist()
+               for n in (6, 17, 29, 11)]
+    requests = lambda: [GenRequest(np.asarray(p, np.int32), 24)
+                        for p in prompts]
+
+    outs = {}
+    for kv_quant in (False, True):
+        batcher = ContinuousBatcher(program, n_slots=4, block_size=128,
+                                    max_context=256, chunk=8,
+                                    prefill_bucket=32, dtype=jnp.bfloat16,
+                                    kv_quant=kv_quant)
+        outs[kv_quant] = batcher.run(requests())
+    agrees = [sum(x == y for x, y in zip(a, b)) / max(len(a), len(b), 1)
+              for a, b in zip(outs[False], outs[True])]
+    # int8 KV carries a ~1% attention-error bound; random-weight near-tie
+    # logits may flip occasionally but sequences must stay close.
+    assert float(np.mean(agrees)) >= 0.7, agrees
+
+
+def test_flash_attention_kernel_on_chip():
+    """Pallas flash-attention (prefill path) vs the XLA reference on
+    chip — the CPU suite only exercises interpret mode."""
+    _require_tpu()
+    import jax
+    import jax.numpy as jnp
+
+    from handwritten_ocr_tpu.ops.flash_attention import flash_attention
+
+    rng = np.random.default_rng(3)
+    b, s, hq, hkv, d = 2, 512, 8, 4, 128
+    q = jnp.asarray(rng.standard_normal((b, s, hq, d)), jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((b, s, hkv, d)), jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((b, s, hkv, d)), jnp.bfloat16)
+
+    got = np.asarray(flash_attention(q, k, v, causal=True), np.float32)
+
+    qf = np.asarray(q, np.float32).reshape(b, s, hkv, hq // hkv, d)
+    kf, vf = np.asarray(k, np.float32), np.asarray(v, np.float32)
+    scores = np.einsum("bshgd,bthd->bhgst", qf, kf) * d ** -0.5
+    mask = np.tril(np.ones((s, s), bool))
+    scores = np.where(mask[None, None, None], scores, -1e30)
+    weights = np.exp(scores - scores.max(-1, keepdims=True))
+    weights /= weights.sum(-1, keepdims=True)
+    ref = np.einsum("bhgst,bthd->bshgd", weights, vf).reshape(b, s, hq, d)
+    assert float(np.abs(got - ref).max()) < 0.03
