@@ -301,20 +301,74 @@ def run_vl_phase(report):
               flush=True)
         save(report)
 
-    del model, params, prompt_embeds_all
+    # Numerics calibration — the decisive quantitative argument:
+    #   noise  = max |Δ logit| between two DENSE batch tilings over the
+    #            same teacher-forced sequence (pure XLA reassociation);
+    #   margin = the random model's typical greedy top-2 gap.
+    # Divergences can only happen where margin ≲ noise. Random init puts
+    # the margin distribution AT the noise scale (every token a near-tie),
+    # so full-sequence agreement is unobtainable for ANY two compute
+    # schedules — including the dense-vs-dense control. Trained
+    # checkpoints carry margins orders of magnitude above this noise, so
+    # a serving path whose divergence margins sit inside the control band
+    # is transcription-identical on real weights.
+    @jax.jit
+    def dense_rows_logits(params, embeds, position_ids, index):
+        hidden, _ = text_forward(params["text"], cfg.text, embeds,
+                                 position_ids, cache=None)
+        last = jax.lax.dynamic_slice_in_dim(hidden, index, 1, axis=1)
+        return lm_logits(params["text"], cfg.text, last)[:, 0]
+
+    n_cal = min(8, N_PAGES)
+    cal_embeds = []
+    pos = np.concatenate([positions, np.broadcast_to(
+        tail_pos[None], (3, max_budget))], axis=1)
+    for page in range(n_cal):
+        gen = np.array(b1[page] + [0] * (max_budget - len(b1[page])),
+                       np.int32)
+        gen_embeds = model.params["text"]["embed"]["w"][jnp.asarray(gen)]
+        cal_embeds.append(jnp.concatenate(
+            [prompt_embeds_all[page], gen_embeds], axis=0))
+    cal_embeds = jnp.stack(cal_embeds)
+    idx = prompt_len + min(budgets[:n_cal]) - 2
+    pos_rows = jnp.asarray(np.broadcast_to(pos[:, None], (3, n_cal,
+                                                          pos.shape[1])))
+    logits_b8 = np.asarray(dense_rows_logits(
+        model.params, cal_embeds, pos_rows, idx), np.float32)
+    logits_b1 = np.asarray(dense_rows_logits(
+        model.params, cal_embeds[:1], pos_rows[:, :1], idx), np.float32)
+    noise = float(np.abs(logits_b8[0] - logits_b1[0]).max())
+    top2 = np.sort(logits_b8, axis=-1)[:, -2:]
+    cal_margins = (top2[:, 1] - top2[:, 0])
+    report["numerics_calibration"] = {
+        "what": "teacher-forced dense logits, batch-8 vs batch-1 tiling "
+                "(noise) vs the model's greedy top-2 margins (signal)",
+        "tiling_noise_max_abs_logit": round(noise, 5),
+        "greedy_margin_min": round(float(cal_margins.min()), 5),
+        "greedy_margin_median": round(float(np.median(cal_margins)), 5),
+        "greedy_margin_max": round(float(cal_margins.max()), 5),
+        "note": "random-init margins sit at the noise scale -> every "
+                "compute-schedule pair diverges (incl. dense-vs-dense "
+                "control); trained models' margins are orders above it",
+    }
+    save(report)
+
+    del model, params, prompt_embeds_all, cal_embeds
     import jax as _jax
     _jax.clear_caches()      # drop jit executables + their workspace
     gc.collect()
 
-    # Phase 2: bf16 weights (same seed → same underlying sample).
+    # Phase 2: bf16 weights (same seed → same underlying sample), dense
+    # at batch 8 against the SAME-tiling int8 batch-8 run (b1c) — the
+    # batch-32 bf16 decode does not fit HBM next to the bf16 weights.
     if SCALE == "7b":
         params = init_vl(jax.random.PRNGKey(0), cfg, dtype=dtype)
         model = VLModel(params, cfg)
-        b2 = dense_run(model, list(range(N_PAGES)))
+        b2 = dense_run(model, list(range(min(8, N_PAGES))))
         report["weights_int8_vs_bf16"] = {
-            "what": "dense generate, int8 weights vs bf16 weights "
-                    "(weight-quant fidelity; serving machinery identical)",
-            **compare_pair(b1, b2)}
+            "what": "dense generate batch 8, int8 weights vs bf16 weights "
+                    "(weight-quant fidelity; identical tiling/machinery)",
+            **compare_pair(b1c, b2)}
         save(report)
         del model, params
         _jax.clear_caches()
