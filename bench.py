@@ -590,10 +590,11 @@ def main() -> None:
         # (the 8B-class int8 Qwen3 needs the HBM the VLM held).
         del model, params
         gc.collect()
-        reasoning = reasoning_bench()
-        detail["reasoning"] = reasoning
-        detail["flagship_projection"] = flagship_projection(
-            read, reasoning, float(np.mean(budgets)))
+        if scale == "7b" or jax.default_backend() == "cpu":
+            reasoning = reasoning_bench()
+            detail["reasoning"] = reasoning
+            detail["flagship_projection"] = flagship_projection(
+                read, reasoning, float(np.mean(budgets)))
 
     vs_baseline = None
     baseline_file = Path(__file__).parent / "bench_baseline.json"

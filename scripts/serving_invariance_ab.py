@@ -60,7 +60,9 @@ SCALE = os.environ.get("HOCR_AB_SCALE", "7b")
 CAP = int(os.environ.get("HOCR_AB_CAP", "320" if SCALE == "7b" else "24"))
 N_PAGES = int(os.environ.get("HOCR_AB_PAGES", "32" if SCALE == "7b" else "4"))
 SLOTS = 24 if SCALE == "7b" else 2
-REPORT = Path(__file__).parent.parent / "serving_invariance_ab.json"
+REPORT = Path(__file__).parent.parent / (
+    "serving_invariance_ab.json" if SCALE == "7b"
+    else f"serving_invariance_ab_{SCALE}.json")
 
 
 def save(report: dict) -> None:
@@ -501,17 +503,32 @@ def main():
     except Exception:
         pass
 
-    report = {
+    phase = os.environ.get("HOCR_AB_PHASE", "")
+    if not phase:
+        # Each phase gets its OWN process: HBM freed by a dead process
+        # cannot fragment the next phase's pool (the in-process sequence
+        # OOMed at the reasoning init despite clear_caches + gc).
+        import subprocess
+        for sub in ("vl", "llm"):
+            env = dict(os.environ, HOCR_AB_PHASE=sub)
+            code = subprocess.call([sys.executable, __file__], env=env)
+            if code != 0:
+                raise SystemExit(f"phase {sub} failed with {code}")
+        print(REPORT.read_text())
+        return
+
+    report = json.loads(REPORT.read_text()) if (
+        phase == "llm" and REPORT.exists()) else {}
+    report.update({
         "scale": SCALE,
         "backend": jax.default_backend(),
         "config": {"pages": N_PAGES, "budget_cap": CAP, "slots": SLOTS},
-    }
-    run_vl_phase(report)
-    import jax as _jax
-    _jax.clear_caches()
-    run_reasoning_phase(report)
+    })
+    if phase == "vl":
+        run_vl_phase(report)
+    else:
+        run_reasoning_phase(report)
     save(report)
-    print(json.dumps(report, indent=2))
 
 
 if __name__ == "__main__":
