@@ -194,6 +194,7 @@ def read_throughput_bench(model, cfg, pages, budgets, iters, quant):
         program, n_slots=min(n_pages, cfg_mod.SERVE_SLOTS),
         block_size=cfg_mod.SERVE_BLOCK_SIZE,
         max_context=max_ctx, chunk=cfg_mod.SERVE_CHUNK,
+        throughput_chunk=cfg_mod.SERVE_THROUGHPUT_CHUNK,
         prefill_bucket=cfg_mod.SERVE_PREFILL_BUCKET,
         dtype=model.params["text"]["embed"]["w"].dtype,
         kv_quant=cfg_mod.SERVE_KV_INT8 and quant)
@@ -224,7 +225,8 @@ def read_throughput_bench(model, cfg, pages, budgets, iters, quant):
     elapsed = time.perf_counter() - start
 
     chunk_calls = timer.calls.get("decode", 0)
-    decode_steps = chunk_calls * cfg_mod.SERVE_CHUNK
+    # No bench request streams, so every dispatch ran the throughput chunk.
+    decode_steps = chunk_calls * cfg_mod.SERVE_THROUGHPUT_CHUNK
     decode_s = timer.seconds.get("decode", 0.0)
     step_time = decode_s / max(decode_steps, 1)
     sol_step = decode_step_read_bytes(
@@ -411,6 +413,7 @@ def reasoning_bench() -> dict:
         batcher = ContinuousBatcher(
             program, n_slots=batch, block_size=cfg_mod.SERVE_BLOCK_SIZE,
             max_context=max_ctx, chunk=cfg_mod.SERVE_CHUNK,
+        throughput_chunk=cfg_mod.SERVE_THROUGHPUT_CHUNK,
             dtype=dtype, kv_quant=kv_quant)
         requests = [GenRequest(p, budget, speculate=speculate)
                     for p in prompts]
@@ -423,7 +426,8 @@ def reasoning_bench() -> dict:
     run(False)                                # compile + warm
     timer.reset()
     total, plain_s, _ = run(False)
-    decode_steps = timer.calls.get("decode", 0) * cfg_mod.SERVE_CHUNK
+    decode_steps = (timer.calls.get("decode", 0)
+                    * cfg_mod.SERVE_THROUGHPUT_CHUNK)
     step_s = timer.seconds.get("decode", plain_s) / max(decode_steps, 1)
     _, spec_s, spec_stats = run(True)
     floor_s = qwen3_step_read_bytes(
@@ -439,6 +443,7 @@ def reasoning_bench() -> dict:
         batcher = ContinuousBatcher(
             program, n_slots=batch, block_size=cfg_mod.SERVE_BLOCK_SIZE,
             max_context=max_ctx, chunk=cfg_mod.SERVE_CHUNK,
+        throughput_chunk=cfg_mod.SERVE_THROUGHPUT_CHUNK,
             dtype=dtype, kv_quant=kv_quant)
         requests = [GenRequest(p, guided_budget, speculate=True)
                     for p in prompts]

@@ -69,8 +69,14 @@ PAGES_PER_DEVICE = 1
 SERVE_SLOTS = 24
 # KV block granularity in tokens; pool block 0 is the reserved trash sink.
 SERVE_BLOCK_SIZE = 128
-# Decode steps per dispatch — the admission/retirement/streaming cadence.
-SERVE_CHUNK = 16
+# Decode steps per dispatch. Every dispatch pays a fixed host round-trip
+# (tens of ms through the dev tunnel), so larger chunks amortize it —
+# measured on the 24-slot 7B bench: chunk 16 = 67.9% of the HBM floor,
+# 32 = 71.6%, 64 = 76.9%, 128 = 83.5%. The batcher picks per dispatch:
+# SERVE_CHUNK when any live request streams tokens (latency cadence),
+# SERVE_THROUGHPUT_CHUNK otherwise (batch reads, agent batches).
+SERVE_CHUNK = 32
+SERVE_THROUGHPUT_CHUNK = 128
 # Prompt lengths pad up to a multiple of this (bounds compiled prefills).
 SERVE_PREFILL_BUCKET = 128
 # int8 KV cache on the TPU serving path: per-token/per-head scales

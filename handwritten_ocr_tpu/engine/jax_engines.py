@@ -147,6 +147,7 @@ class JaxOCRBackend:
             self._batcher = ContinuousBatcher(
                 program, n_slots=cfg_mod.SERVE_SLOTS, block_size=block,
                 max_context=context, chunk=cfg_mod.SERVE_CHUNK,
+                throughput_chunk=cfg_mod.SERVE_THROUGHPUT_CHUNK,
                 prefill_bucket=cfg_mod.SERVE_PREFILL_BUCKET,
                 dtype=self.model.params["text"]["embed"]["w"].dtype,
                 kv_quant=_kv_quant())
@@ -355,6 +356,7 @@ class JaxReasoningBackend:
             self._batcher = ContinuousBatcher(
                 program, n_slots=cfg_mod.SERVE_SLOTS, block_size=block,
                 max_context=context, chunk=cfg_mod.SERVE_CHUNK,
+                throughput_chunk=cfg_mod.SERVE_THROUGHPUT_CHUNK,
                 prefill_bucket=cfg_mod.SERVE_PREFILL_BUCKET,
                 dtype=self.model.params["embed"]["w"].dtype,
                 kv_quant=_kv_quant())

@@ -449,7 +449,8 @@ class ContinuousBatcher:
                  block_size: int = 64, n_blocks: int | None = None,
                  max_context: int = 4096, chunk: int = 16,
                  prefill_bucket: int = 128, draft_k: int = 16,
-                 dtype=jnp.bfloat16, kv_quant: bool = False):
+                 dtype=jnp.bfloat16, kv_quant: bool = False,
+                 throughput_chunk: int | None = None):
         cfg = program.cfg
         self.program = program
         self.n_slots = n_slots
@@ -460,6 +461,13 @@ class ContinuousBatcher:
             n_blocks = 1 + n_slots * self.max_blocks
         self.n_blocks = n_blocks
         self.chunk = chunk
+        # Dispatch size when no live request streams tokens: each
+        # dispatch pays a fixed host round-trip, so throughput workloads
+        # (batch reads, agent batches) amortize it over a bigger chunk
+        # (measured 67.9% -> 83.5% of the decode HBM floor going
+        # 16 -> 128 at 24 slots); streaming requests keep the small
+        # chunk as their token-flush cadence.
+        self.throughput_chunk = throughput_chunk or chunk
         self.prefill_bucket = prefill_bucket
         self.cache = PagedKVCache.zeros(
             cfg.num_hidden_layers, n_blocks, block_size, n_slots,
@@ -940,12 +948,16 @@ class ContinuousBatcher:
             for slot, request in self._slot_req.items():
                 done0[slot] = False
                 remaining[slot] = request.max_new - len(request.tokens)
+            chunk = (self.chunk
+                     if any(r.on_tokens is not None
+                            for r in self._slot_req.values())
+                     else self.throughput_chunk)
             tokens, self.cache, last, _ = self.program.decode_chunk(
                 self.cache, jnp.asarray(self._last), jnp.asarray(done0),
                 jnp.asarray(remaining), jnp.asarray(self._rope_delta),
-                self.chunk,
+                chunk,
                 table_pages=self._table_pages(self._slot_req,
-                                              self.chunk + 1))
+                                              chunk + 1))
             tokens = np.asarray(tokens)
             self._last = np.array(last)      # writable copy (admission edits)
             for slot in list(self._slot_req):
@@ -968,5 +980,5 @@ class ContinuousBatcher:
             for slot in self._slot_req:
                 # Survivors ran the full chunk (the loop only exits early
                 # when EVERY slot is done, and done slots get retired).
-                self._host_len[slot] += self.chunk
+                self._host_len[slot] += chunk
         return [request.tokens for request in requests]

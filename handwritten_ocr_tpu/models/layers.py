@@ -43,9 +43,12 @@ def _quantized_matmul(params: dict, x: jax.Array) -> jax.Array:
     for dim in x.shape[:-1]:
         lead *= dim
 
-    from handwritten_ocr_tpu.ops.dispatch import int8_kernel_mode
+    from handwritten_ocr_tpu.ops.dispatch import (INT8_KERNEL_AUTO_BYTES,
+                                                  int8_kernel_mode)
     mode = int8_kernel_mode()
-    if mode != "off" and lead <= 32:
+    use_kernel = mode in ("compiled", "interpret") or (
+        mode == "auto" and w_q.size >= INT8_KERNEL_AUTO_BYTES)
+    if use_kernel and lead <= 32:
         from handwritten_ocr_tpu.ops.int8_matmul import (
             int8_matmul, int8_matmul_supported)
         if int8_matmul_supported(w_q.shape[0], w_q.shape[1]):

@@ -172,6 +172,23 @@ def lm_logits(params: dict, cfg: TextConfig, hidden: jax.Array) -> jax.Array:
     else:
         head = params["lm_head"]
         if "w_q" in head:
+            b, t, d = hidden.shape
+            from handwritten_ocr_tpu.ops.dispatch import (
+                INT8_KERNEL_AUTO_BYTES, int8_kernel_mode)
+            mode = int8_kernel_mode()
+            use_kernel = (mode in ("compiled", "interpret")
+                          or (mode == "auto"
+                              and head["w_q"].size >= INT8_KERNEL_AUTO_BYTES))
+            if use_kernel and b * t <= 32:
+                # The 520 MB int8 head exceeds VMEM, so XLA streams it at
+                # ~76% of HBM; the Pallas kernel's pipelined block DMAs
+                # reach ~91% (−140 us/step at batch 24). f32 accumulate +
+                # f32 scale in-kernel keep the argmax contract.
+                from handwritten_ocr_tpu.ops.int8_matmul import int8_matmul
+                out = int8_matmul(hidden.reshape(b * t, d), head["w_q"],
+                                  head["w_scale"], out_dtype=jnp.float32,
+                                  interpret=(mode == "interpret"))
+                return out.reshape(b, t, -1)
             logits = jnp.einsum("btd,dv->btv", hidden,
                                 head["w_q"].astype(hidden.dtype),
                                 preferred_element_type=jnp.float32)

@@ -22,17 +22,24 @@ def flash_mode() -> str:
 def int8_kernel_mode() -> str:
     """Dispatch mode for the Pallas int8 weight matmul.
 
-    Default OFF since round 2: inside the paged serving while_loop, XLA
-    reads the int8 buffer and widens inline without materializing a bf16
-    copy (measured: whole 7B step 14.5 ms < the 17.7 ms bf16-weight
-    floor), and the Pallas kernel costs +1.4 ms/step at batch 8 vs that
-    fused path. Set HOCR_TPU_INT8=1 to re-enable (round 1's contiguous
-    decode loop benefited)."""
+    Default "auto" since round 3: XLA's inline int8 widening wins for
+    layer-stack projections (measured 88% of the HBM floor over a
+    VMEM-defeating 4-layer loop vs 82% for the kernel), but the kernel
+    wins on VMEM-exceeding giants — the 520 MB lm_head streams at 91%
+    vs XLA's 76% (−140 us/step at batch 24). "auto" applies the kernel
+    only above ``INT8_KERNEL_AUTO_BYTES``. HOCR_TPU_INT8=1 forces it
+    everywhere, =0 disables."""
     import os
     if os.environ.get("HOCR_TPU_INT8") in ("1", "on", "true", "compiled"):
         return "compiled" if jax.default_backend() == "tpu" else "off"
     env_mode = _mode("HOCR_TPU_INT8")
-    return "off" if env_mode == "compiled" else env_mode
+    return "auto" if env_mode == "compiled" else env_mode
+
+
+# "auto" threshold: weights comfortably beyond VMEM capacity (128 MB on
+# v5e), where XLA cannot park the buffer on-chip and the kernel's
+# pipelined HBM streaming wins. In practice this selects the lm_head.
+INT8_KERNEL_AUTO_BYTES = 256 * 2**20
 
 
 def paged_attention_mode() -> str:

@@ -55,7 +55,7 @@ def int8_matmul_supported(d_in: int, d_out: int) -> bool:
 
 
 @functools.partial(jax.jit, static_argnames=("block_in", "block_out",
-                                             "interpret"))
+                                             "interpret", "out_dtype"))
 def int8_matmul(
     x: jax.Array,        # [B, IN]
     w8: jax.Array,       # [IN, OUT] int8
@@ -64,8 +64,14 @@ def int8_matmul(
     block_in: int = 2048,
     block_out: int = 1024,
     interpret: bool = False,
+    out_dtype=None,
 ) -> jax.Array:
-    """(x @ dequant(w8)) with per-output-channel scales; out in x.dtype."""
+    """(x @ dequant(w8)) with per-output-channel scales.
+
+    ``out_dtype`` defaults to x.dtype; pass ``jnp.float32`` for the
+    lm_head path, whose argmax contract wants f32 accumulation AND f32
+    output (the scale is applied to the f32 accumulator in-kernel either
+    way)."""
     batch, d_in = x.shape
     d_out = w8.shape[1]
     # Prefer a large divisor block (zero-copy); only when no >=384 divisor
@@ -101,7 +107,8 @@ def int8_matmul(
             pl.BlockSpec((1, block_out), lambda oi, ii: (0, oi)),
         ],
         out_specs=pl.BlockSpec((1, batch, block_out), lambda oi, ii: (0, 0, oi)),
-        out_shape=jax.ShapeDtypeStruct((1, batch, full_out), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((1, batch, full_out),
+                                       out_dtype or x.dtype),
         scratch_shapes=[pltpu.VMEM((batch, block_out), jnp.float32)],
         interpret=interpret,
     )(x[None], w8, scale.astype(jnp.float32)[None])
