@@ -27,7 +27,9 @@ N = 100
 
 
 def sync(x):
-    return float(np.asarray(x).ravel()[0])
+    import jax
+    jax.block_until_ready(x)   # no host transfer — tunnel pulls are slow
+    return 0.0
 
 
 def loop_time(make_body, init, iters=N):

@@ -33,7 +33,9 @@ N = 50
 
 
 def sync(x):
-    return float(np.asarray(x).ravel()[0])
+    import jax
+    jax.block_until_ready(x)   # no host transfer — tunnel pulls are slow
+    return 0.0
 
 
 def loop_time(body, init, ws, iters=N):

@@ -29,7 +29,11 @@ N = 30
 
 
 def sync(x):
-    return float(np.asarray(x).ravel()[0])
+    # block_until_ready, NOT np.asarray: materializing the full activation
+    # pulls ~70 MB over the device tunnel and swamps the timing.
+    import jax
+    jax.block_until_ready(x)
+    return 0.0
 
 
 def loop_time(make_body, init, iters=N):
