@@ -176,15 +176,37 @@ def _attend_windows(params: dict, cfg: VisionConfig, x: jax.Array,
                     win_valid: jax.Array) -> jax.Array:
     """Attention within uniform windows — pure reshapes, no gathers.
 
-    Stays on the batched einsum deliberately: folding the B x n_win
-    windows into the flash kernel's batch dim was measured SLOWER on
-    chip (936 vs 626 ms per 8-page encode — thousands of 256-token
-    kernel instances lose to XLA's giant batched matmuls), and at these
-    shapes the materialized [B, n_win, H, L, L] scores cost only a few
-    ms/layer of HBM traffic. The tower measures ~50% MFU as is.
+    Two paths:
+      * Pallas fused multi-window kernel (default on TPU): chunks of
+        whole windows per grid step, rope in-kernel, packed-qkv reads,
+        scores kept in VMEM (ops/window_attention.py). The einsum path's
+        materialized [B, n_win, H, L, L] fp32 scores profiled at
+        3.1 ms/layer (1.5% MFU) — pure HBM traffic this kernel removes.
+        (Folding windows ONE at a time into the flash kernel was the
+        measured-slow round-2 dead end: thousands of 256-token
+        instances; the chunked kernel uses ~48 instances/layer.)
+      * batched einsum fallback (CPU / HOCR_TPU_WINATTN=0).
     """
+    from handwritten_ocr_tpu.ops.dispatch import window_attention_mode
+
     b, p, _ = x.shape
     n_win, win_len = win_valid.shape
+    mode = window_attention_mode()
+    if mode != "off":
+        from handwritten_ocr_tpu.ops.window_attention import window_attention
+        fused = linear(params["qkv"], x)                   # [B, P, 3D]
+        out = window_attention(
+            fused,
+            cos_w.reshape(n_win * win_len, -1),
+            sin_w.reshape(n_win * win_len, -1),
+            win_valid.reshape(-1),
+            num_heads=cfg.num_heads,
+            window_len=win_len,
+            scale=cfg.head_dim ** -0.5,
+            interpret=(mode == "interpret"),
+        )
+        return linear(params["proj"], out)
+
     xw = x.reshape(b, n_win, win_len, -1)
     q, k, v = _split_qkv(params, xw, cfg.num_heads)        # [B, n_win, L, H, hd]
     q, k = apply_rope(q, k,

@@ -42,6 +42,15 @@ def int8_kernel_mode() -> str:
 INT8_KERNEL_AUTO_BYTES = 256 * 2**20
 
 
+def window_attention_mode() -> str:
+    """Dispatch mode for the fused multi-window vision attention kernel
+    (ops/window_attention): block-diagonal chunks of whole windows per
+    grid step, rope in-kernel, scores never materialized in HBM.
+    ``HOCR_TPU_WINATTN=interpret`` runs it through the Pallas interpreter
+    on CPU (parity tests); ``=0`` forces the jnp einsum path."""
+    return _mode("HOCR_TPU_WINATTN")
+
+
 def paged_attention_mode() -> str:
     """Dispatch mode for the fused append+attention decode kernel
     (ops/paged_decode_attention): appends the step's k/v into the pool

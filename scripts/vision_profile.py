@@ -86,7 +86,10 @@ def main() -> None:
     sin_w = sin.reshape(plan.n_windows, plan.window_len, -1)
 
     def dep(x, y):
-        return x + y.ravel()[:1].astype(x.dtype) * jnp.asarray(1e-30, x.dtype)
+        # Consume ALL of y (full reduction): depending on one element lets
+        # XLA dead-code-eliminate most of a matmul (observed >100% "MFU").
+        s = jnp.sum(y, dtype=jnp.float32).astype(x.dtype)
+        return x + s * jnp.asarray(1e-30, x.dtype)
 
     rows = b * p
     cases = {}

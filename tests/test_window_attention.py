@@ -1,0 +1,116 @@
+"""Parity tests for the fused multi-window vision attention kernel.
+
+The Pallas kernel (ops/window_attention.py, run here through the
+interpreter on CPU) must match the batched-einsum reference path of
+models/qwen25vl/vision._attend_windows — including rope application,
+dead-slot key masking, ragged edge windows, and multi-chunk grids.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from handwritten_ocr_tpu.models.layers import apply_rope
+from handwritten_ocr_tpu.models.qwen25vl.config import VisionConfig
+from handwritten_ocr_tpu.models.qwen25vl.vision import (_attend_windows,
+                                                        plan_grid)
+from handwritten_ocr_tpu.ops.window_attention import (_chunk_windows,
+                                                      window_attention)
+
+
+def _ref_window_attention(qkv, cos, sin, valid, num_heads, window_len, scale):
+    """jnp reference: per-window attention on the packed qkv tensor."""
+    b, p, three_d = qkv.shape
+    d = three_d // 3
+    n_win = p // window_len
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+
+    def heads(x):
+        return x.reshape(b, n_win, window_len, num_heads, d // num_heads)
+
+    q, k, v = heads(q), heads(k), heads(v)
+    cos_w = cos.reshape(n_win, window_len, -1)[None, :, :, None, :]
+    sin_w = sin.reshape(n_win, window_len, -1)[None, :, :, None, :]
+    q, k = apply_rope(q, k, cos_w.astype(q.dtype), sin_w.astype(q.dtype))
+    scores = jnp.einsum("bwthd,bwshd->bwhts", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    mask = valid.reshape(n_win, window_len)[None, :, None, None, :]
+    scores = jnp.where(mask, scores, jnp.finfo(jnp.float32).min)
+    weights = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+    out = jnp.einsum("bwhts,bwshd->bwthd", weights, v)
+    return out.reshape(b, p, d)
+
+
+def test_chunk_windows_divisor():
+    assert _chunk_windows(54, 64) == 9          # 9 * 64 = 576 <= 1024
+    assert _chunk_windows(10, 128) == 5         # 8 !| 10 -> 5
+    assert _chunk_windows(7, 1024) == 1
+    assert _chunk_windows(1, 64) == 1
+
+
+@pytest.mark.parametrize("packed", [False, True])
+@pytest.mark.parametrize("dtype,tol", [(jnp.float32, 2e-5),
+                                       (jnp.bfloat16, 3e-2)])
+@pytest.mark.parametrize("n_win,window_len", [(6, 16), (10, 128)])
+def test_kernel_matches_reference(dtype, tol, n_win, window_len, packed):
+    num_heads, hd, b = 4, 16, 2
+    d = num_heads * hd
+    p = n_win * window_len
+    key = jax.random.PRNGKey(0)
+    ks = jax.random.split(key, 4)
+    qkv = jax.random.normal(ks[0], (b, p, 3 * d), dtype)
+    cos = jnp.cos(jax.random.normal(ks[1], (p, hd), jnp.float32))
+    sin = jnp.sin(jax.random.normal(ks[2], (p, hd), jnp.float32))
+    # Ragged validity: kill a tail of keys in some windows + one lone slot.
+    valid = np.ones(p, bool)
+    valid[window_len - 3:window_len] = False
+    valid[2 * window_len + 1:3 * window_len] = False
+    valid = jnp.asarray(valid)
+
+    got = window_attention(qkv, cos, sin, valid, num_heads=num_heads,
+                           window_len=window_len, scale=hd ** -0.5,
+                           interpret=True, packed=packed)
+    want = _ref_window_attention(qkv, cos, sin, valid, num_heads,
+                                 window_len, hd ** -0.5)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32)[:, np.asarray(valid)],
+        np.asarray(want, np.float32)[:, np.asarray(valid)],
+        rtol=tol, atol=tol)
+
+
+@pytest.mark.parametrize("dtype,tol", [(jnp.float32, 2e-5),
+                                       (jnp.bfloat16, 3e-2)])
+def test_attend_windows_kernel_vs_einsum(monkeypatch, dtype, tol):
+    """Full _attend_windows on a real ragged GridPlan, both dispatch modes."""
+    cfg = VisionConfig(depth=2, hidden_size=32, intermediate_size=64,
+                       num_heads=4, patch_size=2, window_size=8,
+                       fullatt_block_indexes=(1,), out_hidden_size=16)
+    plan = plan_grid(cfg, (1, 6, 10))                  # ragged edge windows
+    p, d = plan.n_windows * plan.window_len, cfg.hidden_size
+    key = jax.random.PRNGKey(1)
+    ks = jax.random.split(key, 5)
+    params = {
+        "qkv": {"w": jax.random.normal(ks[0], (d, 3 * d), dtype) * 0.2,
+                "b": jax.random.normal(ks[1], (3 * d,), dtype) * 0.1},
+        "proj": {"w": jax.random.normal(ks[2], (d, d), dtype) * 0.2,
+                 "b": jax.random.normal(ks[3], (d,), dtype) * 0.1},
+    }
+    valid = jnp.asarray(plan.valid)
+    x = jax.random.normal(ks[4], (2, p, d), dtype)
+    x = x * valid[:, None].astype(dtype)
+    win_valid = valid.reshape(plan.n_windows, plan.window_len)
+    cos_w = jnp.asarray(plan.cos_pad).reshape(plan.n_windows,
+                                              plan.window_len, -1)
+    sin_w = jnp.asarray(plan.sin_pad).reshape(plan.n_windows,
+                                              plan.window_len, -1)
+
+    monkeypatch.setenv("HOCR_TPU_WINATTN", "interpret")
+    got = _attend_windows(params, cfg, x, cos_w, sin_w, win_valid)
+    monkeypatch.setenv("HOCR_TPU_WINATTN", "0")
+    want = _attend_windows(params, cfg, x, cos_w, sin_w, win_valid)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32)[:, np.asarray(valid)],
+        np.asarray(want, np.float32)[:, np.asarray(valid)],
+        rtol=tol, atol=tol)
