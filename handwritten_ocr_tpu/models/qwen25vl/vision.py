@@ -163,7 +163,21 @@ def _attend_full(params: dict, cfg: VisionConfig, x: jax.Array,
     mode = flash_mode()
     if mode != "off":
         from handwritten_ocr_tpu.ops.flash_attention import flash_attention
+        # Full-K blocks with a short q block win at page-grid lengths:
+        # one kv pass per q block amortizes the per-step fp32 softmax
+        # glue (block sweep at the 3456-token bench grid: 512x512 auto
+        # 25.8 -> 1024x1024 21.3 -> 256xfullK 16.8 ms/layer; 384 and 128
+        # within noise of 256).  The q block is bounded so the two
+        # [bq, S] fp32 score temporaries stay inside scoped VMEM
+        # (512xfullK OOMed at 18.2M; budget bq*S <= 1.33M elements).
+        s_pad = -(-x.shape[1] // 128) * 128
+        bq = (1_350_000 // s_pad) // 128 * 128
+        if bq >= 128:
+            block_q, block_k = min(384, bq, s_pad), s_pad
+        else:                                  # very long seq: tiled kv
+            block_q = block_k = 1024
         out = flash_attention(q, k, v, kv_mask, scale=cfg.head_dim ** -0.5,
+                              block_q=block_q, block_k=block_k,
                               interpret=(mode == "interpret"))
     else:
         mask = kv_mask[None, None, None, :]
@@ -187,7 +201,8 @@ def _attend_windows(params: dict, cfg: VisionConfig, x: jax.Array,
         instances; the chunked kernel uses ~48 instances/layer.)
       * batched einsum fallback (CPU / HOCR_TPU_WINATTN=0).
     """
-    from handwritten_ocr_tpu.ops.dispatch import window_attention_mode
+    from handwritten_ocr_tpu.ops.dispatch import (window_attention_layout,
+                                                  window_attention_mode)
 
     b, p, _ = x.shape
     n_win, win_len = win_valid.shape
@@ -204,6 +219,7 @@ def _attend_windows(params: dict, cfg: VisionConfig, x: jax.Array,
             window_len=win_len,
             scale=cfg.head_dim ** -0.5,
             interpret=(mode == "interpret"),
+            packed=(window_attention_layout() == "packed"),
         )
         return linear(params["proj"], out)
 

@@ -51,6 +51,16 @@ def window_attention_mode() -> str:
     return _mode("HOCR_TPU_WINATTN")
 
 
+def window_attention_layout() -> str:
+    """Block layout for the window kernel: "packed" (default — one
+    full-width [rows, 3D] qkv block per grid step, heads sliced on lane
+    offsets in-kernel; measured 5.9 vs 7.2 ms/layer against the per-head
+    fold layout at the bench grid, the fold/unfold HBM transposes gone)
+    or "fold" via ``HOCR_TPU_WINATTN_LAYOUT=fold``."""
+    env = os.environ.get("HOCR_TPU_WINATTN_LAYOUT", "").lower()
+    return "fold" if env == "fold" else "packed"
+
+
 def paged_attention_mode() -> str:
     """Dispatch mode for the fused append+attention decode kernel
     (ops/paged_decode_attention): appends the step's k/v into the pool

@@ -143,7 +143,10 @@ def window_attention(
     d = three_d // 3
     hd = d // num_heads
     n_win = p_len // window_len
-    w = _chunk_windows(n_win, window_len)
+    # Packed blocks carry the full [rows, 3·D] qkv width (6× the per-head
+    # layout), so cap rows lower to keep the double-buffered block + fp32
+    # scores inside the 16 MiB scoped-VMEM limit (576 rows OOMed at 19.7M).
+    w = _chunk_windows(n_win, window_len, cap_rows=384 if packed else 1024)
     rows = w * window_len
     n_chunks = n_win // w
 
