@@ -167,11 +167,17 @@ def _attend_full(params: dict, cfg: VisionConfig, x: jax.Array,
         # one kv pass per q block amortizes the per-step fp32 softmax
         # glue (block sweep at the 3456-token bench grid: 512x512 auto
         # 25.8 -> 1024x1024 21.3 -> 256xfullK 16.8 ms/layer; 384 and 128
-        # within noise of 256).  The q block is bounded so the two
-        # [bq, S] fp32 score temporaries stay inside scoped VMEM
-        # (512xfullK OOMed at 18.2M; budget bq*S <= 1.33M elements).
+        # within noise of 256).  The q block is bounded by a BYTE budget
+        # so the fp32 [bq, S] score temporaries plus the dtype-scaled
+        # k/v/q blocks stay inside scoped VMEM whatever the input dtype
+        # (512xfullK at bf16 compiled to 18.2M > 16M — the model below
+        # reproduces that number; rows-only caps broke at f32 in r3).
         s_pad = -(-x.shape[1] // 128) * 128
-        bq = (1_350_000 // s_pad) // 128 * 128
+        isz = q.dtype.itemsize
+        lanes = max(cfg.head_dim, 128)
+        kv_bytes = 4 * s_pad * lanes * isz       # k+v, double-buffered
+        per_bq = 2 * s_pad * 4 + 4 * lanes * isz  # scores fp32 + q/out
+        bq = max(0, (14_000_000 - kv_bytes) // per_bq) // 128 * 128
         if bq >= 128:
             block_q, block_k = min(384, bq, s_pad), s_pad
         else:                                  # very long seq: tiled kv
@@ -249,7 +255,13 @@ def vision_encode(params: dict, cfg: VisionConfig, patches: jax.Array,
     b, s, _ = patches.shape
     unit = cfg.spatial_merge_unit
 
-    x = patches @ params["patch_embed"]["w"]               # [B, S, D]
+    # The tower runs in the PARAMETER dtype. The device pack path emits
+    # f32 patches (processor.pack_image_device); without this cast the
+    # mixed matmul silently promotes the entire 32-layer stack to f32 —
+    # 2x HBM traffic, quarter-rate MXU, and f32 Pallas blocks that blew
+    # the window kernel's VMEM budget at the bench grid (round-3 crash).
+    x = patches.astype(params["patch_embed"]["w"].dtype) \
+        @ params["patch_embed"]["w"]                       # [B, S, D]
 
     # Cell-level window permutation, then ONE gather into padded layout.
     x = x.reshape(b, s // unit, unit, -1)

@@ -40,11 +40,43 @@ from jax.experimental import pallas as pl
 _NEG_INF = float("-inf")
 
 
-def _chunk_windows(n_win: int, window_len: int, cap_rows: int = 1024) -> int:
-    """Largest divisor of n_win whose chunk stays within cap_rows rows."""
+# Target scoped-VMEM usage per grid step. The hardware limit is 16 MiB;
+# the margin absorbs Mosaic's own scratch and model error in _chunk_bytes.
+_VMEM_BUDGET_BYTES = 13 * 2**20
+
+
+def _chunk_bytes(rows: int, d: int, hd: int, itemsize: int,
+                 packed: bool) -> int:
+    """Estimated scoped-VMEM bytes for one grid step: double-buffered
+    HBM blocks plus fp32 score-sized temporaries.
+
+    BYTE-based on purpose — round 3 capped chunk size in ROWS tuned at
+    bf16, and the same row count in f32 doubled the block bytes and blew
+    the 16 MiB scoped-VMEM limit on the bench grid. Coefficients are
+    calibrated against on-chip compiles (v5e, D=1280/hd=80):
+      packed bf16 @576 rows → 19.7 M observed vs 20.0 M modeled
+      packed f32  @384 rows → 22.1 M observed vs 20.5 M modeled
+    """
+    lanes = max(hd, 128)                      # Mosaic pads the lane dim
+    scores = 14 * rows * rows                 # ~3.5 fp32 [R, R] temporaries
+    if packed:
+        # qkv block [R, 3D] + out [R, D], double-buffered (8·R·D·isz),
+        # per-head fp32 pv outputs concatenated (4·R·D), rope tables.
+        io = 8 * rows * d * itemsize + 4 * rows * d \
+            + 4 * rows * lanes * itemsize
+    else:
+        # q/k/v/out blocks double-buffered + rope tables, all [R, hd].
+        io = 12 * rows * lanes * itemsize
+    return scores + io
+
+
+def _chunk_windows(n_win: int, window_len: int, d: int, hd: int,
+                   itemsize: int, packed: bool) -> int:
+    """Largest divisor of n_win whose chunk fits the VMEM byte budget."""
     best = 1
     for w in range(1, n_win + 1):
-        if n_win % w == 0 and w * window_len <= cap_rows:
+        if n_win % w == 0 and _chunk_bytes(w * window_len, d, hd, itemsize,
+                                           packed) <= _VMEM_BUDGET_BYTES:
             best = w
     return best
 
@@ -143,10 +175,7 @@ def window_attention(
     d = three_d // 3
     hd = d // num_heads
     n_win = p_len // window_len
-    # Packed blocks carry the full [rows, 3·D] qkv width (6× the per-head
-    # layout), so cap rows lower to keep the double-buffered block + fp32
-    # scores inside the 16 MiB scoped-VMEM limit (576 rows OOMed at 19.7M).
-    w = _chunk_windows(n_win, window_len, cap_rows=384 if packed else 1024)
+    w = _chunk_windows(n_win, window_len, d, hd, qkv.dtype.itemsize, packed)
     rows = w * window_len
     n_chunks = n_win // w
 

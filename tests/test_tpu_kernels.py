@@ -104,6 +104,85 @@ def test_int8_kv_serving_on_chip():
     assert float(np.mean(agrees)) >= 0.7, agrees
 
 
+@pytest.mark.parametrize("packed", [True, False])
+@pytest.mark.parametrize("dtype_name", ["bf16", "f32"])
+def test_window_attention_on_chip(dtype_name, packed):
+    """Fused multi-window kernel at the FLAGSHIP grid (n_win=54, L=64,
+    D=1280 — the bench shapes) in both dtypes and both layouts. The f32
+    packed case is the exact round-3 bench crash (scoped-VMEM OOM from a
+    rows-only chunk cap tuned at bf16); byte-based budgets must compile
+    it. Numerics checked against the einsum fallback."""
+    _require_tpu()
+    import jax
+    import jax.numpy as jnp
+
+    from handwritten_ocr_tpu.ops.window_attention import window_attention
+
+    dtype = jnp.bfloat16 if dtype_name == "bf16" else jnp.float32
+    num_heads, hd, b = 16, 80, 2
+    n_win, window_len = 54, 64
+    d = num_heads * hd
+    p = n_win * window_len
+    key = jax.random.PRNGKey(11)
+    ks = jax.random.split(key, 3)
+    qkv = (jax.random.normal(ks[0], (b, p, 3 * d), jnp.float32)
+           .astype(dtype))
+    cos = jnp.cos(jax.random.normal(ks[1], (p, hd), jnp.float32))
+    sin = jnp.sin(jax.random.normal(ks[2], (p, hd), jnp.float32))
+    valid = np.ones(p, bool)
+    valid[-window_len + 5:] = False          # ragged tail window
+    valid = jnp.asarray(valid)
+
+    got = np.asarray(window_attention(
+        qkv, cos, sin, valid, num_heads=num_heads, window_len=window_len,
+        scale=hd ** -0.5, packed=packed), np.float32)
+
+    # fp32 einsum reference (same math as vision._attend_windows fallback)
+    from handwritten_ocr_tpu.models.layers import apply_rope
+    q, k, v = jnp.split(qkv.astype(jnp.float32), 3, axis=-1)
+    shape = (b, n_win, window_len, num_heads, hd)
+    q, k, v = q.reshape(shape), k.reshape(shape), v.reshape(shape)
+    cos_w = cos.reshape(n_win, window_len, -1)[None, :, :, None, :]
+    sin_w = sin.reshape(n_win, window_len, -1)[None, :, :, None, :]
+    q, k = apply_rope(q, k, cos_w, sin_w)
+    scores = jnp.einsum("bwthd,bwshd->bwhts", q, k) * hd ** -0.5
+    mask = valid.reshape(n_win, window_len)[None, :, None, None, :]
+    scores = jnp.where(mask, scores, jnp.finfo(jnp.float32).min)
+    weights = jax.nn.softmax(scores, axis=-1)
+    ref = np.asarray(jnp.einsum("bwhts,bwshd->bwthd", weights, v)
+                     .reshape(b, p, d), np.float32)
+    tol = 0.03 if dtype_name == "bf16" else 2e-4
+    err = np.abs(got - ref)[:, np.asarray(valid)].max()
+    assert float(err) < tol, f"window kernel error {err} at {dtype_name}"
+
+
+def test_flagship_compile_gauntlet():
+    """Compile-and-run the EXACT production bench programs at the bench
+    grid (24 pages, 7B dims, int8, production dtype path: f32 patches
+    cast at the tower entry): preprocess+pack, vision prompt_embeds,
+    paged prefill, and the throughput decode chunk. Round 3 shipped a
+    kernel that only the driver's bench could catch — this test fails
+    first now. Decode budgets are tiny so the run costs seconds once
+    compiled; compiles are the point."""
+    _require_tpu()
+    import bench
+    import jax
+    import jax.numpy as jnp
+
+    from handwritten_ocr_tpu.models.init import init_vl
+    from handwritten_ocr_tpu.models.qwen25vl.model import VLModel
+
+    cfg = bench.build_config("7b")
+    params = init_vl(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16,
+                     quantize="int8")
+    model = VLModel(params, cfg)
+    pages = bench.synthetic_pages(24)
+    metrics = bench.read_throughput_bench(
+        model, cfg, pages, budgets=[16] * 24, iters=1, quant=True)
+    assert metrics["pages_run"] == 24
+    assert metrics["total_tokens"] > 0
+
+
 def test_flash_attention_kernel_on_chip():
     """Pallas flash-attention (prefill path) vs the XLA reference on
     chip — the CPU suite only exercises interpret mode."""

@@ -43,11 +43,18 @@ def _ref_window_attention(qkv, cos, sin, valid, num_heads, window_len, scale):
     return out.reshape(b, p, d)
 
 
-def test_chunk_windows_divisor():
-    assert _chunk_windows(54, 64) == 9          # 9 * 64 = 576 <= 1024
-    assert _chunk_windows(10, 128) == 5         # 8 !| 10 -> 5
-    assert _chunk_windows(7, 1024) == 1
-    assert _chunk_windows(1, 64) == 1
+def test_chunk_windows_byte_budget():
+    """Chunk choice is BYTE-aware: the same grid must shrink its chunk
+    when the dtype widens (the round-3 bench OOM was a rows-only cap
+    tuned at bf16 compiling f32 blocks at 2x the budget)."""
+    # Flagship bench grid: n_win=54, window_len=64, D=1280, hd=80.
+    assert _chunk_windows(54, 64, 1280, 80, 2, True) == 6    # 384 rows
+    assert _chunk_windows(54, 64, 1280, 80, 4, True) == 3    # f32: half
+    assert _chunk_windows(54, 64, 1280, 80, 2, False) == 9   # fold: 576
+    bf16 = _chunk_windows(54, 64, 1280, 80, 2, True)
+    f32 = _chunk_windows(54, 64, 1280, 80, 4, True)
+    assert f32 < bf16
+    assert _chunk_windows(1, 64, 1280, 80, 4, True) == 1     # floor: 1 win
 
 
 @pytest.mark.parametrize("packed", [False, True])
