@@ -113,6 +113,60 @@ def _auto_block(seq_len: int, cap: int = 512) -> int:
     return min(cap, max(128, -(-seq_len // 128) * 128))
 
 
+def _reference_attention(q, k, v, kv_mask, causal: bool, scale: float):
+    """Pure-XLA GQA attention mirroring the kernel's exact math (fp32
+    softmax, guarded all-masked rows). Used as the BACKWARD of the
+    custom-VJP wrapper: Pallas kernels have no autodiff rules, and the
+    production train step (train/step.py) differentiates through the
+    prefill attention — the gradient of online-softmax attention equals
+    the gradient of this rematerialized form."""
+    b, t, hq, d = q.shape
+    s, hkv = k.shape[1], k.shape[2]
+    group = hq // hkv
+    qf = q.astype(jnp.float32).reshape(b, t, hkv, group, d)
+    scores = jnp.einsum("bthgd,bshd->bhgts", qf,
+                        k.astype(jnp.float32)) * scale
+    mask = (kv_mask != 0).reshape(-1, 1, 1, 1, s)          # [1|B, ..., S]
+    if causal:
+        rows = jnp.arange(t)[:, None]
+        cols = jnp.arange(s)[None, :]
+        mask = mask & (cols <= rows)[None, None, None]     # kernel's raw iota
+    scores = jnp.where(mask, scores, _NEG_INF)
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    safe_m = jnp.where(m == _NEG_INF, 0.0, m)
+    p = jnp.where(mask, jnp.exp(scores - safe_m), 0.0)
+    denom = jnp.maximum(jnp.sum(p, axis=-1, keepdims=True), 1e-30)
+    out = jnp.einsum("bhgts,bshd->bthgd", p / denom, v.astype(jnp.float32))
+    return out.reshape(b, t, hq, d).astype(q.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+def _flash_diff(q, k, v, kv_mask, causal, scale, block_q, block_k,
+                interpret):
+    return _flash_forward(q, k, v, kv_mask, causal=causal, scale=scale,
+                          block_q=block_q, block_k=block_k,
+                          interpret=interpret)
+
+
+def _flash_diff_fwd(q, k, v, kv_mask, causal, scale, block_q, block_k,
+                    interpret):
+    out = _flash_diff(q, k, v, kv_mask, causal, scale, block_q, block_k,
+                      interpret)
+    return out, (q, k, v, kv_mask)
+
+
+def _flash_diff_bwd(causal, scale, block_q, block_k, interpret, res, g):
+    q, k, v, kv_mask = res
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_: _reference_attention(q_, k_, v_, kv_mask,
+                                                causal, scale), q, k, v)
+    dq, dk, dv = vjp(g)
+    return dq, dk, dv, jnp.zeros_like(kv_mask)
+
+
+_flash_diff.defvjp(_flash_diff_fwd, _flash_diff_bwd)
+
+
 @functools.partial(jax.jit, static_argnames=("causal", "scale", "block_q",
                                              "block_k", "interpret"))
 def flash_attention(
@@ -127,10 +181,13 @@ def flash_attention(
     block_k: int | None = None,
     interpret: bool = False,
 ) -> jax.Array:
-    """Fused attention; returns [B, T, Hq, D] in q's dtype."""
-    b, t, hq, d = q.shape
-    s, hkv = k.shape[1], k.shape[2]
-    group = hq // hkv
+    """Fused attention; returns [B, T, Hq, D] in q's dtype.
+
+    Differentiable: the forward runs the Pallas kernel; the backward
+    (training paths) rematerializes the XLA reference attention.
+    """
+    t, s = q.shape[1], k.shape[1]
+    d = q.shape[3]
     if scale is None:
         scale = d ** -0.5
     if block_q is None:
@@ -143,6 +200,25 @@ def flash_attention(
         kv_mask = kv_mask.astype(jnp.float32)[None]        # shared mask
     else:
         kv_mask = kv_mask.astype(jnp.float32)              # [B, S] per row
+    return _flash_diff(q, k, v, kv_mask, causal, scale, block_q, block_k,
+                       interpret)
+
+
+def _flash_forward(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    kv_mask: jax.Array,      # [1|B, S] float32 (normalized by the wrapper)
+    *,
+    causal: bool,
+    scale: float,
+    block_q: int,
+    block_k: int,
+    interpret: bool,
+) -> jax.Array:
+    b, t, hq, d = q.shape
+    s, hkv = k.shape[1], k.shape[2]
+    group = hq // hkv
 
     # Layout: fold batch and heads; pad sequence dims to block multiples.
     qf = _pad_to(q.transpose(0, 2, 1, 3).reshape(b * hq, t, d), 1, block_q)

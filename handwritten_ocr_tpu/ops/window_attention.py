@@ -81,6 +81,75 @@ def _chunk_windows(n_win: int, window_len: int, d: int, hd: int,
     return best
 
 
+def _window_reference(qkv, cos, sin, valid, num_heads: int,
+                      window_len: int, scale: float):
+    """Pure-XLA mirror of the kernel math (rope in compute dtype, fp32
+    score/pv accumulation, key-masked dead slots). Used as the BACKWARD
+    of the custom-VJP wrapper: Pallas kernels have no autodiff rules,
+    and the production train step (train/step.py) differentiates through
+    the vision tower's 28 window layers on TPU."""
+    b, p_len, three_d = qkv.shape
+    d = three_d // 3
+    hd = d // num_heads
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+
+    def heads(x):
+        return x.reshape(b, p_len, num_heads, hd)
+
+    cos_b = cos.astype(qkv.dtype)[None, :, None, :]
+    sin_b = sin.astype(qkv.dtype)[None, :, None, :]
+
+    def rope(x):
+        half = hd // 2
+        rot = jnp.concatenate([-x[..., half:], x[..., :half]], axis=-1)
+        return x * cos_b + rot * sin_b
+
+    n_win = p_len // window_len
+    qw = rope(heads(q)).reshape(b, n_win, window_len, num_heads, hd)
+    kw = rope(heads(k)).reshape(b, n_win, window_len, num_heads, hd)
+    vw = heads(v).reshape(b, n_win, window_len, num_heads, hd)
+    scores = jnp.einsum("bwthd,bwshd->bwhts", qw, kw,
+                        preferred_element_type=jnp.float32) * scale
+    key_ok = (valid != 0).reshape(1, n_win, 1, 1, window_len)
+    scores = jnp.where(key_ok, scores, _NEG_INF)
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    m = jnp.where(m == _NEG_INF, 0.0, m)                  # all-masked guard
+    p = jnp.where(key_ok, jnp.exp(scores - m), 0.0)
+    denom = jnp.maximum(jnp.sum(p, axis=-1, keepdims=True), 1e-30)
+    out = jnp.einsum("bwhts,bwshd->bwthd", (p / denom).astype(vw.dtype), vw,
+                     preferred_element_type=jnp.float32)
+    return out.reshape(b, p_len, d).astype(qkv.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+def _window_diff(qkv, cos, sin, valid, num_heads, window_len, scale,
+                 interpret, packed):
+    return _window_forward(qkv, cos, sin, valid, num_heads=num_heads,
+                           window_len=window_len, scale=scale,
+                           interpret=interpret, packed=packed)
+
+
+def _window_diff_fwd(qkv, cos, sin, valid, num_heads, window_len, scale,
+                     interpret, packed):
+    out = _window_diff(qkv, cos, sin, valid, num_heads, window_len, scale,
+                       interpret, packed)
+    return out, (qkv, cos, sin, valid)
+
+
+def _window_diff_bwd(num_heads, window_len, scale, interpret, packed,
+                     res, g):
+    qkv, cos, sin, valid = res
+    _, vjp = jax.vjp(
+        lambda x: _window_reference(x, cos, sin, valid, num_heads,
+                                    window_len, scale), qkv)
+    (dqkv,) = vjp(g)
+    return (dqkv, jnp.zeros_like(cos), jnp.zeros_like(sin),
+            jnp.zeros_like(valid))
+
+
+_window_diff.defvjp(_window_diff_fwd, _window_diff_bwd)
+
+
 def _window_kernel(q_ref, k_ref, v_ref, cos_ref, sin_ref, valid_ref, o_ref,
                    *, scale: float, window_len: int):
     rows = q_ref.shape[1]
@@ -170,7 +239,29 @@ def window_attention(
     interpret: bool = False,
     packed: bool = False,
 ) -> jax.Array:
-    """Block-diagonal window attention; returns [B, P, H·hd] in qkv dtype."""
+    """Block-diagonal window attention; returns [B, P, H·hd] in qkv dtype.
+
+    Differentiable: the forward runs the Pallas kernel; the backward
+    (training paths) rematerializes the XLA reference attention.
+    """
+    return _window_diff(qkv, cos.astype(jnp.float32),
+                        sin.astype(jnp.float32),
+                        valid.astype(jnp.float32),
+                        num_heads, window_len, scale, interpret, packed)
+
+
+def _window_forward(
+    qkv: jax.Array,
+    cos: jax.Array,          # [P, hd] float32 (normalized by the wrapper)
+    sin: jax.Array,          # [P, hd] float32
+    valid: jax.Array,        # [P] float32
+    *,
+    num_heads: int,
+    window_len: int,
+    scale: float,
+    interpret: bool,
+    packed: bool,
+) -> jax.Array:
     b, p_len, three_d = qkv.shape
     d = three_d // 3
     hd = d // num_heads

@@ -76,7 +76,28 @@ def main() -> None:
     params = init_vision(key, cfg, dtype=jnp.bfloat16)
     layer = params["blocks"][0]
     x0 = jax.random.normal(key, (b, p, d), jnp.bfloat16)
-    patches0 = jax.random.normal(key, (b, s, 1176), jnp.bfloat16)
+
+    # PRODUCTION patches, not random bf16: the bench path emits f32 from
+    # pack_image_device and the tower casts at entry. Round 3 tuned
+    # kernels against bf16 random patches here while the bench compiled
+    # f32 blocks — this harness now compiles the exact production
+    # programs (same preprocess chain, same pack, same dtype).
+    import bench
+    from handwritten_ocr_tpu.models.processor import pack_image_device
+    from handwritten_ocr_tpu.ops.bank import preprocess_chain
+
+    pages = np.stack(bench.synthetic_pages(b))
+
+    @jax.jit
+    def prep(batch_u8):
+        def one(img):
+            processed = preprocess_chain(img, ["high_contrast", "binarize"])
+            return pack_image_device(processed)[0]
+        return jax.vmap(one)(batch_u8)
+
+    patches0 = prep(jnp.asarray(pages))
+    print(f"patches: {patches0.shape} {patches0.dtype} (production pack), "
+          f"tower compute dtype {params['patch_embed']['w'].dtype}")
 
     valid = jnp.asarray(plan.valid)
     cos = jnp.asarray(plan.cos_pad)
@@ -104,7 +125,8 @@ def main() -> None:
     print(f"== components (batch {b}, {rows} padded tokens) ==")
 
     def patch_embed(i, x):
-        y = patches0 @ params["patch_embed"]["w"]
+        w = params["patch_embed"]["w"]
+        y = patches0.astype(w.dtype) @ w       # production entry cast
         return dep(x, y)
     report("patch_embed", loop_time(patch_embed, x0),
            flops=2 * b * s * 1176 * d)

@@ -116,3 +116,32 @@ def test_per_row_kv_mask():
         p /= p.sum(-1, keepdims=True)
         want = np.einsum("hts,shd->thd", p, v[row])
         np.testing.assert_allclose(got[row], want, atol=2e-2)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_flash_gradients_match_reference(causal):
+    """Training paths (train/step.py) differentiate through the kernel:
+    the custom VJP's backward (rematerialized XLA attention) must equal
+    the gradient of the jnp reference attention."""
+    q, k, v = make_qkv(2, 64, 64, 4, 2, 32, seed=5)
+    mask = np.ones(64, bool)
+    mask[-5:] = False
+    mask_j = jnp.asarray(mask)
+
+    def loss_kernel(q, k, v):
+        out = flash_attention(q, k, v, mask_j, causal=causal,
+                              block_q=64, block_k=64, interpret=True)
+        return (out.astype(jnp.float32) ** 2).sum()
+
+    def loss_ref(q, k, v):
+        full = (causal_mask(64, 64) if causal
+                else jnp.ones((1, 1, 64, 64), bool))
+        m = full & mask_j[None, None, None, :]
+        out = attention(q, k, v, m, scale=32 ** -0.5)
+        return (out.astype(jnp.float32) ** 2).sum()
+
+    got = jax.grad(loss_kernel, argnums=(0, 1, 2))(q, k, v)
+    want = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=2e-4, atol=2e-4)

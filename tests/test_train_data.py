@@ -99,3 +99,45 @@ def test_train_step_runs_and_improves(dataset):
             first_loss = float(loss)
     assert np.isfinite(first_loss)
     assert float(loss) < first_loss  # overfits the tiny batch
+
+
+def test_train_step_through_pallas_kernels(dataset, monkeypatch):
+    """Round-3 bench regression: on TPU the train step differentiates
+    through the Pallas flash + window kernels, which have no autodiff
+    rules without the custom VJPs. Forcing interpret mode reproduces
+    that exact path on CPU: one step must run and produce a finite
+    loss through a window layer AND a full-attention layer."""
+    from handwritten_ocr_tpu.models.init import init_vl
+    from handwritten_ocr_tpu.models.qwen25vl.config import (
+        TextConfig, VisionConfig, VLConfig)
+
+    monkeypatch.setenv("HOCR_TPU_FLASH", "interpret")
+    monkeypatch.setenv("HOCR_TPU_WINATTN", "interpret")
+
+    cfg = VLConfig(
+        vision=VisionConfig(depth=2, hidden_size=32, intermediate_size=64,
+                            num_heads=2, out_hidden_size=32,
+                            fullatt_block_indexes=(1,)),
+        text=TextConfig(vocab_size=152064, hidden_size=32,
+                        intermediate_size=64, num_hidden_layers=1,
+                        num_attention_heads=2, num_key_value_heads=1,
+                        mrope_section=(2, 3, 3)),
+    )
+    examples = discover_examples(dataset)
+    batch, grid = build_batch(examples, ByteTokenizer(), cfg,
+                              min_pixels=28 * 28, max_pixels=56 * 56)
+    params = init_vl(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+
+    from handwritten_ocr_tpu.train.step import next_token_loss
+    grad_fn = jax.value_and_grad(next_token_loss)
+    loss_k, grads_k = grad_fn(params, cfg, batch, grid)
+
+    monkeypatch.setenv("HOCR_TPU_FLASH", "0")
+    monkeypatch.setenv("HOCR_TPU_WINATTN", "0")
+    loss_r, grads_r = grad_fn(params, cfg, batch, grid)
+
+    assert np.isfinite(float(loss_k))
+    np.testing.assert_allclose(float(loss_k), float(loss_r), rtol=1e-5)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4),
+        grads_k, grads_r)

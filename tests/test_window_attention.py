@@ -121,3 +121,37 @@ def test_attend_windows_kernel_vs_einsum(monkeypatch, dtype, tol):
         np.asarray(got, np.float32)[:, np.asarray(valid)],
         np.asarray(want, np.float32)[:, np.asarray(valid)],
         rtol=tol, atol=tol)
+
+
+@pytest.mark.parametrize("packed", [False, True])
+def test_window_gradients_match_reference(packed):
+    """The vision tower's 28 window layers sit on the train path
+    (train/step.py -> vision_encode); the kernel's custom-VJP backward
+    must equal the gradient of the einsum reference."""
+    num_heads, window_len, n_win = 4, 16, 4
+    hd = 32
+    d = num_heads * hd
+    p = n_win * window_len
+    key = jax.random.PRNGKey(7)
+    qkv = jax.random.normal(key, (2, p, 3 * d), jnp.float32)
+    cos = jnp.cos(jax.random.normal(jax.random.PRNGKey(8), (p, hd)))
+    sin = jnp.sin(jax.random.normal(jax.random.PRNGKey(9), (p, hd)))
+    valid = np.ones(p, bool)
+    valid[-7:] = False
+    valid = jnp.asarray(valid)
+
+    def loss_kernel(x):
+        out = window_attention(x, cos, sin, valid, num_heads=num_heads,
+                               window_len=window_len, scale=hd ** -0.5,
+                               interpret=True, packed=packed)
+        return (out.astype(jnp.float32) ** 2).sum()
+
+    def loss_ref(x):
+        out = _ref_window_attention(x, cos, sin, valid, num_heads,
+                                    window_len, hd ** -0.5)
+        return (out.astype(jnp.float32) ** 2).sum()
+
+    got = jax.grad(loss_kernel)(qkv)
+    want = jax.grad(loss_ref)(qkv)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
