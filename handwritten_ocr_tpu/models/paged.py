@@ -208,7 +208,16 @@ def _paged_self_attention(layer: dict, cfg, x: jax.Array, cos, sin,
         return linear(layer["o"], out.reshape(b, t, -1)), pools
 
     paged_mode = paged_attention_mode()
-    if t <= 64 and paged_mode != "off":
+    # The fused kernel's append DMA slices [Hkv, D] rows out of the
+    # tile-padded pool pages; Mosaic requires those slices aligned to the
+    # memref tiling (observed: int8 at [4, 128] compiles, [2, 64] is
+    # rejected with "slice shape must be aligned to tiling"). Production
+    # model families (Qwen2.5-VL 3B/7B/72B, Qwen3 8B/32B) all have
+    # head_dim 128 and >= 4 KV heads; exotic small shapes fall back to
+    # the portable scatter+gather path instead of failing to compile.
+    kernel_aligned = (hd % 128 == 0 and cfg.num_key_value_heads % 4 == 0)
+    if (t <= 64 and paged_mode != "off"
+            and (kernel_aligned or paged_mode == "interpret")):
         # Decode steps (t == 1), guided string chunks, speculative verify
         # blocks (t == K+1), and tiny prefills share the fused kernel;
         # query token i attends through absolute position start + i.

@@ -251,15 +251,22 @@ def _kernel(tables_ref, start_ref, nvalid_ref,           # scalar prefetch
             for h in range(hkv)])
         if quant:
             # Dequantize in SCORE space: scale is per (head, column), so
-            # scores *= k_scale[h, col] and later p_exp *= v_scale —
-            # column broadcasts over the [Hkv, .., PPC*BS] layout need
-            # only a leading-dim shuffle of the [PPC, Hkv, BS] scale
-            # buffers (a minor-dim transpose to match k's rows would be
-            # an expensive sublane/lane relayout).
-            ks = ks_buf[buf].transpose(1, 0, 2).reshape(
-                hkv, 1, cols_per_chunk)
-            vs = vs_buf[buf].transpose(1, 0, 2).reshape(
-                hkv, 1, cols_per_chunk)
+            # scores *= k_scale[h, col] and later p_exp *= v_scale. The
+            # [PPC, Hkv, BS] scale buffers flatten to [Hkv, 1, PPC*BS]
+            # via a lane-dim CONCAT over the static page dim — the
+            # sublane->lane merge expressed as transpose+reshape is an
+            # unsupported Mosaic shape cast at sub-128 lane widths
+            # (vector<2x8x64> -> vector<2x1x512> failed at the tiny
+            # trained-fidelity config), while per-page lane concatenation
+            # compiles at every shape. (A minor-dim transpose to match
+            # k's rows would be an expensive sublane/lane relayout.)
+            def flat_scales(buf_ref):
+                pages = buf_ref[buf]                   # [PPC, Hkv, BS]
+                return jnp.concatenate(
+                    [pages[i] for i in range(ppc)], axis=-1)[:, None, :]
+
+            ks = flat_scales(ks_buf)                   # [Hkv, 1, PPC*BS]
+            vs = flat_scales(vs_buf)
             scores = scores * ks
         col = c * cols_per_chunk + jax.lax.broadcasted_iota(
             jnp.int32, (hkv, gt, cols_per_chunk), 2)

@@ -150,23 +150,29 @@ def small_vl_config():
     return VLConfig(
         vision=VisionConfig(depth=depth, hidden_size=128,
                             intermediate_size=256, num_heads=4,
-                            out_hidden_size=256,
+                            out_hidden_size=512,
                             fullatt_block_indexes=(depth - 1,)),
-        text=TextConfig(vocab_size=384, hidden_size=256,
+        # head_dim 128 / 4 KV heads: the fused paged kernel's alignment
+        # contract (models/paged.py) — the A/B must exercise the REAL
+        # production serving path, not the portable fallback.
+        text=TextConfig(vocab_size=384, hidden_size=512,
                         intermediate_size=512, num_hidden_layers=layers,
-                        num_attention_heads=4, num_key_value_heads=2,
-                        mrope_section=(8, 12, 12)),
+                        num_attention_heads=4, num_key_value_heads=4,
+                        mrope_section=(16, 24, 24)),
         image_token_id=IMG_PAD, vision_start_token_id=VIS_START,
         vision_end_token_id=VIS_END, eos_token_id=IM_END, pad_token_id=PAD)
 
 
 def small_qwen3_config():
     from handwritten_ocr_tpu.models.qwen3 import Qwen3Config
+    # head_dim 128 / 4 KV heads keep the fused paged kernel's alignment
+    # contract (models/paged.py) so the A/B runs the production path;
+    # 8:4 GQA exercises the kernel's head-group folding too.
     return Qwen3Config(vocab_size=384, hidden_size=256,
                        intermediate_size=512,
                        num_hidden_layers=2 if SMOKE else 4,
-                       num_attention_heads=4, num_key_value_heads=2,
-                       head_dim=64, eos_token_id=IM_END, pad_token_id=PAD)
+                       num_attention_heads=8, num_key_value_heads=4,
+                       head_dim=128, eos_token_id=IM_END, pad_token_id=PAD)
 
 
 # ── VL phase ──────────────────────────────────────────────────────────
@@ -314,7 +320,7 @@ def run_vl_phase(report: dict) -> None:
     program = PagedProgram(params_int8["text"], cfg.text,
                            eos_token_id=cfg.eos_token_id)
     batcher = ContinuousBatcher(
-        program, n_slots=min(8, n_pages), block_size=64,
+        program, n_slots=min(8, n_pages), block_size=128,
         max_context=prompt_len + max_target, chunk=8, dtype=dtype,
         kv_quant=not SMOKE)
     model_int8 = VLModel(params_int8, cfg)
@@ -356,6 +362,11 @@ def run_vl_phase(report: dict) -> None:
 
 # ── LM phase: speculation acceptance on trained weights ──────────────
 def lm_corpus(tok) -> np.ndarray:
+    """A DETERMINISTIC sentence cycle: every continuation is fully
+    determined by context, so the trained model's greedy margins are
+    large at every position (random sentence order would leave genuine
+    ~zero-margin forks at sentence boundaries, where XLA schedule noise
+    — not serving machinery — flips tokens and forks the tail)."""
     sentences = [
         "the river bends past the old stone mill. ",
         "wheat came in before the harvest moon. ",
@@ -364,8 +375,7 @@ def lm_corpus(tok) -> np.ndarray:
         "rain was kind to the market price. ",
         "the oxen team hauled stone for the mill. ",
     ]
-    rng = np.random.default_rng(9)
-    text = "".join(rng.choice(sentences) for _ in range(400))
+    text = "".join(sentences) * 70
     return np.asarray(tok.encode(text), np.int32)
 
 
@@ -449,7 +459,7 @@ def run_lm_phase(report: dict, *, smoke: bool | None = None) -> None:
 
     def run(p_tree, speculate):
         program = PagedProgram(p_tree, cfg, eos_token_id=-1)
-        batcher = ContinuousBatcher(program, n_slots=n_req, block_size=64,
+        batcher = ContinuousBatcher(program, n_slots=n_req, block_size=128,
                                     max_context=max_ctx, chunk=8,
                                     dtype=dtype, kv_quant=not smoke)
         reqs = [GenRequest(p, budget, speculate=speculate) for p in prompts]
@@ -457,7 +467,10 @@ def run_lm_phase(report: dict, *, smoke: bool | None = None) -> None:
         out = batcher.run(reqs)
         return out, time.perf_counter() - t0, dict(batcher.spec_stats)
 
-    run(params_int8, False)                       # compile + warm
+    run(params_int8, False)                       # compile + warm (plain)
+    run(params_int8, True)                        # compile + warm (verify
+    #                                               blocks + draft shapes —
+    #                                               spec pays extra programs)
     out_plain, plain_s, _ = run(params_int8, False)
     out_spec, spec_s, stats = run(params_int8, True)
     out_bf16, _, _ = run(params_bf16, False)

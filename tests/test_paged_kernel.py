@@ -243,3 +243,64 @@ def test_quantized_attention_close_to_exact():
         layer=LAYER, scale=D ** -0.5, interpret=True)
     err = np.abs(np.asarray(out)[:, 0] - exact[:, 0]).max()
     assert err < 0.02, err
+
+
+@pytest.mark.parametrize("hkv,hd,expect_kernel", [(4, 128, True),
+                                                  (2, 64, False),
+                                                  (4, 96, False),
+                                                  (8, 256, True)])
+def test_kernel_alignment_guard(monkeypatch, hkv, hd, expect_kernel):
+    """models/paged.py routes the fused kernel only at Mosaic-alignable
+    page-slice shapes ([Hkv, D] with D%128==0, Hkv%4==0); anything else
+    takes the portable scatter+gather path instead of failing to compile
+    on TPU (the tiny trained-fidelity config hit exactly that)."""
+    from handwritten_ocr_tpu.models import paged as paged_mod
+    from handwritten_ocr_tpu.models.paged import _paged_self_attention
+    from handwritten_ocr_tpu.models.qwen3 import Qwen3Config
+    from handwritten_ocr_tpu.ops import dispatch
+
+    monkeypatch.setattr(dispatch, "paged_attention_mode", lambda: "compiled")
+
+    called = {}
+
+    def sentinel_kernel(*args, **kwargs):
+        called["kernel"] = True
+        raise RuntimeError("stop after dispatch decision")
+
+    import handwritten_ocr_tpu.ops.paged_decode_attention as pda
+    monkeypatch.setattr(pda, "paged_append_attention", sentinel_kernel)
+
+    hq = hkv * 2
+    cfg = Qwen3Config(vocab_size=64, hidden_size=32, intermediate_size=32,
+                      num_hidden_layers=1, num_attention_heads=hq,
+                      num_key_value_heads=hkv, head_dim=hd, eos_token_id=-1)
+    rng = np.random.default_rng(0)
+    b, t = 2, 1
+    layer = {
+        "q": {"w": jnp.asarray(rng.standard_normal(
+            (32, hq * hd)).astype(np.float32))},
+        "k": {"w": jnp.asarray(rng.standard_normal(
+            (32, hkv * hd)).astype(np.float32))},
+        "v": {"w": jnp.asarray(rng.standard_normal(
+            (32, hkv * hd)).astype(np.float32))},
+        "o": {"w": jnp.asarray(rng.standard_normal(
+            (hq * hd, 32)).astype(np.float32))},
+    }
+    x = jnp.asarray(rng.standard_normal((b, t, 32)).astype(np.float32))
+    cos = jnp.ones((b, t, hd), jnp.float32)
+    sin = jnp.zeros((b, t, hd), jnp.float32)
+    pools = (jnp.zeros((1, 4, 16, hkv, hd), jnp.float32),
+             jnp.zeros((1, 4, 16, hkv, hd), jnp.float32), None, None)
+    tables = jnp.asarray([[0, 1], [2, 3]], np.int32)
+    start = jnp.asarray([3, 5], np.int32)
+    n_valid = jnp.asarray([1, 1], np.int32)
+
+    try:
+        out, _ = _paged_self_attention(layer, cfg, x, cos, sin, 0, pools,
+                                       tables, start, n_valid, fresh=False)
+    except RuntimeError as e:
+        assert "stop after dispatch decision" in str(e)
+
+    assert called.get("kernel", False) == expect_kernel
+    if not expect_kernel:
+        assert out.shape == (b, t, 32)
