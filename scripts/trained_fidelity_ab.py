@@ -148,8 +148,13 @@ def small_vl_config():
     depth = 2 if SMOKE else 4
     layers = 2 if SMOKE else 4
     return VLConfig(
-        vision=VisionConfig(depth=depth, hidden_size=128,
-                            intermediate_size=256, num_heads=4,
+        # Wide enough to separate every page at the FIRST target token:
+        # at hidden 128 the tower got stuck in a permutation local
+        # minimum (two pages swapped identities; loss plateau = exactly
+        # those first tokens) and free-running decode emitted the wrong
+        # page's memorized text.
+        vision=VisionConfig(depth=depth, hidden_size=256,
+                            intermediate_size=512, num_heads=4,
                             out_hidden_size=512,
                             fullatt_block_indexes=(depth - 1,)),
         # head_dim 128 / 4 KV heads: the fused paged kernel's alignment
@@ -249,8 +254,13 @@ def run_vl_phase(report: dict) -> None:
 
     # Train in f32 (the production train step; serving casts to bf16).
     params = init_vl(jax.random.PRNGKey(11), cfg, dtype=jnp.float32)
-    init_opt, train_step = make_train_step(
-        cfg, grid, optax.adamw(float(os.environ.get("HOCR_TRAIN_LR", "1e-3"))))
+    peak_lr = float(os.environ.get("HOCR_TRAIN_LR", "1e-3"))
+    # Cosine decay anneals past the permutation plateau (constant 1e-3
+    # oscillated at loss ~0.02 = two misidentified first tokens).
+    schedule = optax.warmup_cosine_decay_schedule(
+        0.0, peak_lr, warmup_steps=min(100, max(1, MAX_STEPS // 4)),
+        decay_steps=MAX_STEPS, end_value=peak_lr / 20)
+    init_opt, train_step = make_train_step(cfg, grid, optax.adamw(schedule))
     opt_state = init_opt(params)
     t0 = time.perf_counter()
     loss = float("nan")
@@ -259,7 +269,7 @@ def run_vl_phase(report: dict) -> None:
         if step % 200 == 0 or step == MAX_STEPS - 1:
             loss = float(loss)
             print(f"[vl-train] step {step} loss {loss:.4f}", flush=True)
-            if loss < 0.01:
+            if loss < 0.002:   # every first token nailed, margins wide
                 break
     train_s = time.perf_counter() - t0
     final_loss = float(loss)
@@ -361,27 +371,23 @@ def run_vl_phase(report: dict) -> None:
 
 
 # ── LM phase: speculation acceptance on trained weights ──────────────
-def lm_corpus(tok) -> np.ndarray:
-    """A DETERMINISTIC sentence cycle: every continuation is fully
-    determined by context, so the trained model's greedy margins are
-    large at every position (random sentence order would leave genuine
-    ~zero-margin forks at sentence boundaries, where XLA schedule noise
-    — not serving machinery — flips tokens and forks the tail)."""
-    sentences = [
-        "the river bends past the old stone mill. ",
-        "wheat came in before the harvest moon. ",
-        "letters were sent home all winter. ",
-        "the roads were mud until late spring. ",
-        "rain was kind to the market price. ",
-        "the oxen team hauled stone for the mill. ",
-    ]
-    text = "".join(sentences) * 70
-    return np.asarray(tok.encode(text), np.int32)
+def copy_text(rng, length: int) -> str:
+    s = ""
+    while len(s) < length:
+        s += str(rng.choice(_WORDS)).lower() + " "
+    return s[:length]
 
 
-def train_lm(cfg, corpus: np.ndarray, steps: int, seed: int = 5,
-             seq: int = 256, batch: int = 8, stop_loss: float = 0.02):
-    """Plain next-token LM fit (the reasoning engine's objective)."""
+def train_lm_copy(cfg, steps: int, *, length: int, batch: int,
+                  tok, seed: int = 5, stop_loss: float = 0.01):
+    """Train the COPY task the reference's speculation workload has:
+    rows are ``text <SEP> text`` with loss on the copy half only. The
+    editor/arbitrator calls this machinery accelerates return the page
+    almost verbatim (ref agents.py:213-241 'COMPLETE corrected text'),
+    i.e. the source occurs ONCE in the prompt and the output copies it —
+    exactly the regime where prompt-lookup drafting fires. A model
+    trained to copy has near-one margins at every copied position
+    (induction), so greedy outputs are schedule-noise-proof."""
     import jax
     import jax.numpy as jnp
     import optax
@@ -394,6 +400,11 @@ def train_lm(cfg, corpus: np.ndarray, steps: int, seed: int = 5,
     optimizer = optax.adamw(1e-3)
     opt_state = optimizer.init(params)
 
+    # Targets at index j predict ids[:, j+1]; the copy half is the
+    # tokens after the SEP at index `length`.
+    copy_mask = (np.arange(2 * length) >= length).astype(np.float32)[None]
+    copy_mask_j = jnp.asarray(copy_mask)
+
     def loss_fn(p, ids):
         embeds = p["embed"]["w"][ids]
         pos = jnp.broadcast_to(jnp.arange(ids.shape[1])[None], ids.shape)
@@ -401,7 +412,7 @@ def train_lm(cfg, corpus: np.ndarray, steps: int, seed: int = 5,
         logits = lm_logits(p, cfg, hidden)
         logp = jax.nn.log_softmax(logits[:, :-1].astype(jnp.float32), -1)
         picked = jnp.take_along_axis(logp, ids[:, 1:, None], axis=-1)[..., 0]
-        return -picked.mean()
+        return -(picked * copy_mask_j).sum() / (copy_mask_j.sum() * ids.shape[0])
 
     @jax.jit
     def step_fn(p, s, ids):
@@ -412,12 +423,15 @@ def train_lm(cfg, corpus: np.ndarray, steps: int, seed: int = 5,
     rng = np.random.default_rng(seed)
     loss = float("nan")
     for step in range(steps):
-        starts = rng.integers(0, len(corpus) - seq - 1, size=batch)
-        ids = jnp.asarray(np.stack([corpus[s:s + seq] for s in starts]))
+        rows = []
+        for _ in range(batch):
+            ids = tok.encode(copy_text(rng, length))
+            rows.append(ids + [IM_START] + ids)
+        ids = jnp.asarray(np.asarray(rows, np.int32))
         params, opt_state, loss = step_fn(params, opt_state, ids)
         if step % 100 == 0 or step == steps - 1:
             loss = float(loss)
-            print(f"[lm-train] step {step} loss {loss:.4f}", flush=True)
+            print(f"[lm-train] step {step} copy loss {loss:.4f}", flush=True)
             if loss < stop_loss:
                 break
     return params, float(loss)
@@ -438,23 +452,23 @@ def run_lm_phase(report: dict, *, smoke: bool | None = None) -> None:
         smoke = SMOKE
     tok = SmallTok()
     cfg = small_qwen3_config()
-    corpus = lm_corpus(tok)
+    length = 48 if smoke else 224
     steps = min(MAX_STEPS, 120 if smoke else 1500)
-    params, final_loss = train_lm(
-        cfg, corpus, steps, seq=128 if smoke else 256,
-        batch=4 if smoke else 8)
+    params, final_loss = train_lm_copy(cfg, steps, length=length,
+                                       batch=4 if smoke else 8, tok=tok)
     params_bf16 = cast_bf16(params)
     params_int8 = quantize_tree(params_bf16)
     del params
 
     dtype = jnp.bfloat16 if jax.default_backend() != "cpu" else jnp.float32
     n_req = 2 if smoke else 8
-    budget = 48 if smoke else 256
+    budget = length
+    # UNSEEN word orders (train uses seed 5): the copy skill must
+    # generalize, exactly like the editor copying a fresh page.
     rng = np.random.default_rng(17)
-    prompts = []
-    for i in range(n_req):
-        start = int(rng.integers(0, len(corpus) - 600))
-        prompts.append(corpus[start:start + (96 if smoke else 512)])
+    sources = [copy_text(rng, length) for _ in range(n_req)]
+    prompts = [np.asarray(tok.encode(s) + [IM_START], np.int32)
+               for s in sources]
     max_ctx = max(len(p) for p in prompts) + budget + 64
 
     def run(p_tree, speculate):
@@ -482,13 +496,23 @@ def run_lm_phase(report: dict, *, smoke: bool | None = None) -> None:
     agree_w = float(np.mean(
         [sum(x == y for x, y in zip(a, b)) / max(len(a), len(b), 1)
          for a, b in zip(out_bf16, out_plain)]))
+    from handwritten_ocr_tpu.text.metrics import tier1_metrics
+    copy_cer = float(np.mean([
+        tier1_metrics(tok.decode(t), s)["cer"]
+        for t, s in zip(out_plain, sources)]))
+    copies_exact = sum(tok.decode(t) == s
+                       for t, s in zip(out_plain, sources))
     report["speculation_trained"] = {
-        "what": "tiny Qwen3 TRAINED on a repetitive corpus, production "
+        "what": "tiny Qwen3 TRAINED to copy (text <SEP> text — the "
+                "editor/arbitrator verbatim-copy shape speculation "
+                "accelerates, ref agents.py:213-241), production "
                 "ContinuousBatcher (int8 weights%s): prompt-lookup "
-                "speculation vs plain decode" % (
+                "speculation vs plain decode on UNSEEN texts" % (
                     "" if smoke else " + int8 KV"),
         "train_steps": steps, "final_loss": round(final_loss, 4),
         "requests": n_req, "budget": budget,
+        "copy_cer_vs_source": round(copy_cer, 4),
+        "copies_exact": copies_exact,
         "spec_stats": stats,
         "acceptance_rate": round(stats["accepted"]
                                  / max(stats["drafted"], 1), 3),
