@@ -28,6 +28,7 @@ Usage: python scripts/step32_check.py   (TPU; ~2-4 min incl. compiles)
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 from pathlib import Path
@@ -88,7 +89,27 @@ def measure_depth(layers: int) -> dict:
             "decode_steps": steps, "wall_s": round(wall, 1)}
 
 
+def _measure_subprocess(layers: int) -> dict:
+    """One depth per PROCESS: HBM freed by a dead process cannot
+    fragment the next depth's pool (the in-process sequence OOMed at
+    the 8-layer init even after del + clear_caches + gc — same lesson
+    as bench.py's phase isolation)."""
+    import subprocess
+    import tempfile
+
+    with tempfile.NamedTemporaryFile(suffix=".json", delete=False) as f:
+        out_path = f.name
+    env = dict(os.environ, STEP32_LAYERS=str(layers), STEP32_OUT=out_path)
+    code = subprocess.call([sys.executable, __file__], env=env)
+    if code != 0:
+        raise SystemExit(f"step32 depth-{layers} subprocess rc={code}")
+    result = json.loads(Path(out_path).read_text())
+    os.unlink(out_path)
+    return result
+
+
 def main() -> None:
+    layers_env = os.environ.get("STEP32_LAYERS")
     import jax
     cache_dir = Path(__file__).parent.parent / ".jax_cache"
     try:
@@ -99,9 +120,14 @@ def main() -> None:
     if jax.default_backend() != "tpu":
         raise SystemExit("step32_check needs the TPU (widths OOM host RAM)")
 
-    d4 = measure_depth(4)
+    if layers_env:                    # subprocess: one depth, write, exit
+        result = measure_depth(int(layers_env))
+        Path(os.environ["STEP32_OUT"]).write_text(json.dumps(result))
+        return
+
+    d4 = _measure_subprocess(4)
     print(f"[step32] 4L: {d4['step_ms']} ms/step", flush=True)
-    d8 = measure_depth(8)
+    d8 = _measure_subprocess(8)
     print(f"[step32] 8L: {d8['step_ms']} ms/step", flush=True)
 
     slope = (d8["step_ms"] - d4["step_ms"]) / 4          # ms per layer
