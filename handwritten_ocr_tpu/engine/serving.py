@@ -469,15 +469,9 @@ class ContinuousBatcher:
         # chunk as their token-flush cadence.
         self.throughput_chunk = throughput_chunk or chunk
         self.prefill_bucket = prefill_bucket
-        if kv_quant and block_size % 128 != 0:
-            # The fused kernel's scale-page read-modify-write DMAs whole
-            # [Hkv, BS] f32 pages; Mosaic pads the lane dim to 128, so a
-            # sub-128 block_size makes the page slice unaligned and the
-            # program uncompilable on TPU. Production uses
-            # config.SERVE_BLOCK_SIZE = 128; demote rather than crash.
-            print("[serving] kv_quant needs block_size % 128 == 0 "
-                  f"(got {block_size}); falling back to full-precision KV")
-            kv_quant = False
+        # Sub-128 block sizes keep int8 KV: the fused kernel's scale-page
+        # RMW needs 128-lane-aligned [Hkv, BS] slices, so paged.py routes
+        # such caches to the portable scatter+gather path instead.
         self.cache = PagedKVCache.zeros(
             cfg.num_hidden_layers, n_blocks, block_size, n_slots,
             self.max_blocks, cfg.num_key_value_heads, cfg.head_dim,

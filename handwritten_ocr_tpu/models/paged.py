@@ -215,7 +215,13 @@ def _paged_self_attention(layer: dict, cfg, x: jax.Array, cos, sin,
     # model families (Qwen2.5-VL 3B/7B/72B, Qwen3 8B/32B) all have
     # head_dim 128 and >= 4 KV heads; exotic small shapes fall back to
     # the portable scatter+gather path instead of failing to compile.
-    kernel_aligned = (hd % 128 == 0 and cfg.num_key_value_heads % 4 == 0)
+    # The int8 path's scale-page read-modify-write additionally DMAs whole
+    # [Hkv, BS] f32 pages; Mosaic pads the lane dim to 128, so a sub-128
+    # block_size makes that slice unaligned and the program uncompilable.
+    # Production uses config.SERVE_BLOCK_SIZE = 128; exotic block sizes
+    # take the portable path below, which quantizes/dequantizes in XLA.
+    kernel_aligned = (hd % 128 == 0 and cfg.num_key_value_heads % 4 == 0
+                      and (pools[2] is None or pools[0].shape[2] % 128 == 0))
     if (t <= 64 and paged_mode != "off"
             and (kernel_aligned or paged_mode == "interpret")):
         # Decode steps (t == 1), guided string chunks, speculative verify
