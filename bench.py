@@ -26,9 +26,20 @@ speed-of-light floor, p50 full-pipeline per-page latency (real
 architecture at reduced reasoning width, schema-constrained agent calls),
 and CER through the real scoring oracle on a deterministic workload.
 
+Emission contract (round-4 verdict #1): the single headline JSON line
+prints on stdout THE MOMENT the read phase returns — extended phases
+(pipeline p50/CER, 8B reasoning, trained speculation) run afterwards
+under a global wall budget and append to ``BENCH_DETAIL.json`` as each
+finishes, so a timeout can never destroy a measured result. Phases whose
+warm-run estimate no longer fits the remaining budget are skipped with a
+note; carried numbers from the last successful run survive in the detail
+artifact with ``_source``/``_measured_at`` provenance.
+
 Env knobs: HOCR_BENCH_SCALE=7b|3b|tiny, HOCR_BENCH_PAGES, HOCR_BENCH_DECODE
-(budget cap), HOCR_BENCH_ITERS, HOCR_BENCH_FAST=1 (skip p50/CER section),
-HOCR_BENCH_QUANT=off (bf16).
+(budget cap), HOCR_BENCH_ITERS, HOCR_BENCH_FAST=1 (headline read phase
+only), HOCR_BENCH_QUANT=off (bf16), HOCR_BENCH_BUDGET (total wall budget,
+default 520 s — phases that don't fit are skipped, the process always
+exits 0 once the headline is out).
 """
 
 from __future__ import annotations
@@ -44,6 +55,15 @@ sys.path.insert(0, str(Path(__file__).parent))
 import numpy as np
 
 HBM_BYTES_PER_S = 819e9          # measured v5e HBM bandwidth (round 1)
+
+_T0 = time.monotonic()
+
+
+def _progress(msg: str) -> None:
+    """Timestamped progress line on stderr (stdout carries only the
+    headline JSON line); makes driver-run timeouts diagnosable."""
+    print(f"[bench +{time.monotonic() - _T0:6.1f}s] {msg}",
+          file=sys.stderr, flush=True)
 
 
 def build_config(scale: str):
@@ -216,12 +236,15 @@ def read_throughput_bench(model, cfg, pages, budgets, iters, quant):
         produced = batcher.run(requests)
         return sum(len(tokens) for tokens in produced)
 
+    _progress("read: warm iteration (compiles all programs)...")
     one_iteration()                       # compile + warm
+    _progress("read: warm done, timing begins")
     timer.reset()
     start = time.perf_counter()
     total_tokens = 0
-    for _ in range(iters):
+    for i in range(iters):
         total_tokens += one_iteration()
+        _progress(f"read: iteration {i + 1}/{iters} done")
     elapsed = time.perf_counter() - start
 
     chunk_calls = timer.calls.get("decode", 0)
@@ -283,30 +306,25 @@ def pipeline_latency_bench(model, cfg, pages, tokenizer) -> dict:
         Image.fromarray(page).save(path)
         paths.append(str(path))
 
-    from handwritten_ocr_tpu import config as cfg_mod
     from handwritten_ocr_tpu.engine.jax_engines import TPUPreprocessor
     pipe = OCRPipeline(ocr, llm, preprocessor=TPUPreprocessor(), quiet=True)
     run_cfg = RunConfig()
-    # Bound the agent decode budget for the latency run (the production
-    # 4,096-token contract is priced by the throughput bench above).
-    saved_budget = cfg_mod.LLM_MAX_TOKENS
-    cfg_mod.LLM_MAX_TOKENS = 96
-    latencies = []
 
     def run_page(path):
+        # Reduced budgets ride the run snapshot (the reference's
+        # state["config"] discipline, ref transcribe.py:59-64) — no
+        # module-global writes.
         state = initial_state(path, config={
             **run_cfg.as_state_dict(),
             "ocr_max_new_tokens": 256,        # latency budget per read
+            "llm_max_tokens": 96,             # agent budget for this run
         }, max_iterations=2)
         start = time.perf_counter()
         pipe.run(state)
         return time.perf_counter() - start
 
-    try:
-        run_page(paths[0])                    # warm: compile everything once
-        latencies = [run_page(path) for path in paths]
-    finally:
-        cfg_mod.LLM_MAX_TOKENS = saved_budget
+    run_page(paths[0])                        # warm: compile everything once
+    latencies = [run_page(path) for path in paths]
     latencies.sort()
     return {
         # "reduced": 96-token agent budget, 256-token reads, 2 iterations,
@@ -605,13 +623,13 @@ def run_phase(phase: str, out_path: str) -> None:
     same lesson as scripts/serving_invariance_ab.py)."""
     scale, n_pages, budget_cap, iters = _workload()
     jax = _setup_jax()
+    _progress(f"phase {phase}: backend={jax.default_backend()}")
     out: dict = {"backend": jax.default_backend()}
 
-    if phase == "read":
+    def vl_model():
         import jax.numpy as jnp
 
         from handwritten_ocr_tpu.models.init import init_vl
-        from handwritten_ocr_tpu.models.processor import ByteTokenizer
         from handwritten_ocr_tpu.models.qwen25vl.model import VLModel
 
         cfg = build_config(scale)
@@ -619,28 +637,57 @@ def run_phase(phase: str, out_path: str) -> None:
                  else jnp.float32)
         quant = os.environ.get("HOCR_BENCH_QUANT", "int8")
         use_int8 = quant == "int8" and jax.default_backend() == "tpu"
+        _progress(f"{phase}: init_vl {scale} starting")
         params = init_vl(jax.random.PRNGKey(0), cfg, dtype=dtype,
                          quantize="int8" if use_int8 else None)
-        model = VLModel(params, cfg)
+        jax.block_until_ready(params)
+        _progress(f"{phase}: init_vl done")
+        return (VLModel(params, cfg), cfg,
+                "int8" if use_int8 else str(dtype.__name__))
+
+    if phase == "read":
+        model, cfg, quant_label = vl_model()
         pages = synthetic_pages(n_pages)
         budgets = page_token_budgets(n_pages, budget_cap)
-        _ = np.asarray(jnp.ones(8))          # warm the device tunnel
-
-        read = read_throughput_bench(model, cfg, pages, budgets, iters,
-                                     use_int8)
-        out["read"] = read
-        out["quant"] = "int8" if use_int8 else str(dtype.__name__)
-        if os.environ.get("HOCR_BENCH_FAST") != "1":
-            out["extra"] = dict(cer_oracle_check())
-            out["extra"].update(pipeline_latency_bench(
-                model, cfg, pages[:4], ByteTokenizer()))
+        out["read"] = read_throughput_bench(
+            model, cfg, pages, budgets, iters, quant_label == "int8")
+        out["quant"] = quant_label
+    elif phase == "pipeline":
+        from handwritten_ocr_tpu.models.processor import ByteTokenizer
+        model, cfg, _ = vl_model()
+        out["pipeline"] = dict(cer_oracle_check())
+        out["pipeline"].update(pipeline_latency_bench(
+            model, cfg, synthetic_pages(4), ByteTokenizer()))
     elif phase == "reasoning":
         out["reasoning"] = reasoning_bench()
     elif phase == "spec":
         out["speculation_trained"] = speculation_trained_bench()
     else:
         raise SystemExit(f"unknown bench phase {phase}")
+    _progress(f"phase {phase}: complete")
     Path(out_path).write_text(json.dumps(out))
+
+
+# Warm-cache wall-time estimates per phase (measured on this host with a
+# primed .jax_cache — see scripts/bench_warm.py and README "Benchmark").
+# A phase only launches when the remaining budget comfortably covers its
+# estimate, so a cold run degrades to skip-with-note, never to rc=124.
+PHASE_ESTIMATES_S = {"pipeline": 150.0, "reasoning": 150.0, "spec": 120.0}
+
+DETAIL_FILE = Path(__file__).parent / "BENCH_DETAIL.json"
+
+
+def _load_detail() -> dict:
+    try:
+        return json.loads(DETAIL_FILE.read_text())
+    except (OSError, json.JSONDecodeError):
+        return {}
+
+
+def _save_detail(detail: dict) -> None:
+    tmp = DETAIL_FILE.with_suffix(".json.tmp")
+    tmp.write_text(json.dumps(detail, indent=1))
+    tmp.replace(DETAIL_FILE)
 
 
 def main() -> None:
@@ -651,39 +698,64 @@ def main() -> None:
     import subprocess
     import tempfile
 
+    start_mono = time.monotonic()
+    budget_s = float(os.environ.get("HOCR_BENCH_BUDGET", "520"))
+
+    def remaining() -> float:
+        return budget_s - (time.monotonic() - start_mono)
+
     scale, n_pages, budget_cap, _ = _workload()
     fast = os.environ.get("HOCR_BENCH_FAST") == "1"
     budgets = page_token_budgets(n_pages, budget_cap)
 
-    def run_sub(name: str) -> dict:
+    def run_sub(name: str, timeout: float):
+        """Run one phase subprocess; returns (result|None, status, wall_s).
+
+        Phase stdout is routed to stderr so the headline JSON line is the
+        only thing this process ever prints on stdout."""
         with tempfile.NamedTemporaryFile(suffix=".json", delete=False) as f:
             out_path = f.name
         env = dict(os.environ, HOCR_BENCH_PHASE=name, HOCR_BENCH_OUT=out_path)
-        code = subprocess.call([sys.executable, __file__], env=env)
-        if code != 0:
-            raise SystemExit(f"bench phase {name} failed with rc={code}")
-        result = json.loads(Path(out_path).read_text())
-        os.unlink(out_path)
-        return result
+        t0 = time.monotonic()
+        try:
+            proc = subprocess.run([sys.executable, __file__], env=env,
+                                  stdout=sys.stderr, timeout=max(timeout, 1))
+            status = "ok" if proc.returncode == 0 else \
+                f"failed rc={proc.returncode}"
+        except subprocess.TimeoutExpired:
+            status = f"timeout after {timeout:.0f}s"
+        wall = time.monotonic() - t0
+        result = None
+        if status == "ok":
+            try:
+                result = json.loads(Path(out_path).read_text())
+            except (OSError, json.JSONDecodeError) as err:
+                status = f"bad output: {err}"
+        try:
+            os.unlink(out_path)
+        except OSError:
+            pass
+        return result, status, wall
 
-    first = run_sub("read")
-    read = first["read"]
-    detail = {
-        "workload": {"pages": n_pages, "budget_cap": budget_cap,
-                     "page_budgets": budgets,
-                     "mean_budget": round(float(np.mean(budgets)), 1),
-                     "quant": first["quant"]},
-        **read,
-        **first.get("extra", {}),
-    }
-    if not fast and (scale == "7b" or first["backend"] == "cpu"):
-        reasoning = run_sub("reasoning")["reasoning"]
-        detail["reasoning"] = reasoning
-        detail["flagship_projection"] = flagship_projection(
-            read, reasoning, float(np.mean(budgets)))
-        detail["speculation_trained"] = run_sub("spec")["speculation_trained"]
+    # ── Phase 1: the headline read-throughput measurement ────────────
+    first, read_status, read_wall = run_sub("read", remaining() - 30)
+    detail_store = _load_detail()
+    phase_status: dict = {"read": {"status": read_status,
+                                   "wall_s": round(read_wall, 1)}}
+
+    read = None
+    if first is not None:
+        read = first["read"]
+        detail_store["read"] = {
+            **read, "_source": "live", "_wall_s": round(read_wall, 1),
+            "_measured_at": time.strftime("%Y-%m-%d"),
+            "workload": {"pages": n_pages, "budget_cap": budget_cap,
+                         "mean_budget": round(float(np.mean(budgets)), 1),
+                         "quant": first["quant"]},
+        }
 
     vs_baseline = None
+    cpu_pages_per_sec = None
     baseline_file = Path(__file__).parent / "bench_baseline.json"
     if baseline_file.exists():
         entry = json.loads(baseline_file.read_text()).get(scale)
@@ -692,18 +764,90 @@ def main() -> None:
             cpu_total = sum(parts["preprocess"] + parts["prefill"]
                             + budget * parts["decode_per_token"]
                             for budget in budgets)
-            cpu_pages_per_sec = n_pages / cpu_total
-            detail["cpu_pages_per_sec_at_workload"] = round(
-                cpu_pages_per_sec, 6)
-            vs_baseline = round(read["pages_per_sec"] / cpu_pages_per_sec, 2)
+            cpu_pages_per_sec = round(n_pages / cpu_total, 6)
+            if read is not None:
+                vs_baseline = round(
+                    read["pages_per_sec"] / cpu_pages_per_sec, 2)
 
+    # Flagship p50 projection: live read stages composed with the best
+    # available reasoning-engine measurement — this run's if the phase
+    # already ran (bench_warm re-entry), else the carried BENCH_DETAIL
+    # artifact (refreshed by scripts/bench_warm.py on this chip).
+    projection = None
+    reasoning_carried = detail_store.get("reasoning")
+    if read is not None and reasoning_carried is not None \
+            and "reasoning_sol_pct" in reasoning_carried:
+        projection = flagship_projection(
+            read, reasoning_carried, float(np.mean(budgets)))
+        projection["reasoning_source"] = (
+            f"{reasoning_carried.get('_source', 'carried')} "
+            f"({reasoning_carried.get('_measured_at', 'unknown date')})")
+
+    # ── Emit the headline line NOW (round-4 verdict #1): a timeout in
+    # any later phase can no longer destroy the measured result. ──────
+    headline_detail = {
+        "workload": {"pages": n_pages, "budget_cap": budget_cap,
+                     "page_budgets": budgets,
+                     "mean_budget": round(float(np.mean(budgets)), 1),
+                     "quant": first["quant"] if first else None},
+        **(read or {}),
+        "cpu_pages_per_sec_at_workload": cpu_pages_per_sec,
+        **({"p50_flagship_projected_s":
+                projection["p50_flagship_projected_s"],
+            "flagship_projection": projection} if projection else {}),
+        "read_status": read_status,
+        "detail_file": "BENCH_DETAIL.json (extended phases appended "
+                       "incrementally as each finishes)",
+    }
     print(json.dumps({
         "metric": "ocr_pages_per_sec_per_chip",
-        "value": round(read["pages_per_sec"], 4),
+        "value": round(read["pages_per_sec"], 4) if read else None,
         "unit": "pages/s",
         "vs_baseline": vs_baseline,
-        "detail": detail,
-    }))
+        "detail": headline_detail,
+    }), flush=True)
+
+    if projection:
+        detail_store["flagship_projection"] = projection
+    detail_store["phase_status"] = phase_status
+    detail_store["_headline"] = {
+        "value": round(read["pages_per_sec"], 4) if read else None,
+        "vs_baseline": vs_baseline}
+    _save_detail(detail_store)
+    if read is None:
+        return            # headline (with failure note) already emitted
+
+    # ── Extended phases: budget-gated, appended to BENCH_DETAIL.json as
+    # each finishes; carried data from a previous run survives a skip. ─
+    extended = [] if fast else ["pipeline", "reasoning", "spec"]
+    if scale not in ("7b",) and first["backend"] != "cpu":
+        extended = [p for p in extended if p == "pipeline"]
+    for name in extended:
+        estimate = PHASE_ESTIMATES_S[name]
+        prior = detail_store.get(
+            {"spec": "speculation_trained"}.get(name, name))
+        if isinstance(prior, dict) and prior.get("_wall_s"):
+            estimate = max(estimate, float(prior["_wall_s"]))
+        if remaining() < estimate * 1.3 + 20:
+            phase_status[name] = {
+                "status": f"skipped: {remaining():.0f}s left < "
+                          f"{estimate:.0f}s estimate"}
+            _save_detail(detail_store)
+            continue
+        result, status, wall = run_sub(name, remaining() - 15)
+        phase_status[name] = {"status": status, "wall_s": round(wall, 1)}
+        if result is not None:
+            key = {"spec": "speculation_trained"}.get(name, name)
+            detail_store[key] = {
+                **result[key], "_source": "live",
+                "_measured_at": time.strftime("%Y-%m-%d"),
+                "_wall_s": round(wall, 1)}
+            if name == "reasoning":
+                detail_store["flagship_projection"] = {
+                    **flagship_projection(read, detail_store["reasoning"],
+                                          float(np.mean(budgets))),
+                    "reasoning_source": "live (this run)"}
+        _save_detail(detail_store)
 
 
 if __name__ == "__main__":

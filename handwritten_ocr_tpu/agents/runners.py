@@ -120,12 +120,18 @@ def run_critic(
     transcription: str,
     previous_critique: CriticResult | None = None,
     quiet: bool = False,
+    max_tokens: int | None = None,
 ) -> CriticResult:
-    """Critique a transcription; returns a validated CriticResult."""
+    """Critique a transcription; returns a validated CriticResult.
+
+    ``max_tokens`` overrides the config decode budget for this call (the
+    run snapshot's ``llm_max_tokens``); None keeps config.LLM_MAX_TOKENS.
+    """
     request = critic_request(transcription, previous_critique)
     if not quiet:
         print("  [critic] Analyzing transcription...")
     raw = call_llm_json(backend, request.system, request.user,
+                        max_tokens=max_tokens,
                         json_schema=request.schema, quiet=quiet)
     result = parse_critic(raw, quiet=quiet)
     if not quiet:
@@ -207,12 +213,14 @@ def run_editor(
     transcription: str,
     critique: CriticResult,
     quiet: bool = False,
+    max_tokens: int | None = None,
 ) -> EditorResult:
     """Fix critic-flagged issues; returns a validated EditorResult."""
     request = editor_request(transcription, critique)
     if not quiet:
         print("  [editor] Fixing flagged issues...")
     raw = call_llm_json(backend, request.system, request.user,
+                        max_tokens=max_tokens,
                         json_schema=request.schema, quiet=quiet)
     result = parse_editor(raw, transcription, quiet=quiet)
     if not quiet:
@@ -287,12 +295,14 @@ def run_arbitrator(
     backend: ReasoningBackend,
     versions: list[dict],
     quiet: bool = False,
+    max_tokens: int | None = None,
 ) -> ArbitratorResult:
     """Merge version dicts ({text, source, score?}); validated ArbitratorResult."""
     request = arbitrator_request(versions)
     if not quiet:
         print(f"  [arbitrator] Comparing {len(versions)} versions...")
     raw = call_llm_json(backend, request.system, request.user,
+                        max_tokens=max_tokens,
                         json_schema=request.schema, quiet=quiet)
     result = parse_arbitrator(raw, versions, quiet=quiet)
     if not quiet:

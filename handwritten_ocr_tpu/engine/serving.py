@@ -472,6 +472,12 @@ class ContinuousBatcher:
         # Sub-128 block sizes keep int8 KV: the fused kernel's scale-page
         # RMW needs 128-lane-aligned [Hkv, BS] slices, so paged.py routes
         # such caches to the portable scatter+gather path instead.
+        if kv_quant and block_size % 128 != 0:
+            print(f"[serving] kv_quant with block_size={block_size} "
+                  "(not a multiple of 128): decode runs the portable "
+                  "XLA scatter+gather path (full-window dequant per "
+                  "layer), not the fused TPU kernel — expect a large "
+                  "per-step cost. Use block_size=128 for the fast path.")
         self.cache = PagedKVCache.zeros(
             cfg.num_hidden_layers, n_blocks, block_size, n_slots,
             self.max_blocks, cfg.num_key_value_heads, cfg.head_dim,

@@ -219,7 +219,9 @@ class LockstepPipeline:
                 except Exception:
                     prev = None
             requests.append(critic_request(state["current_best"], prev))
-        raws = call_llm_json_batch(self.llm, requests, quiet=self.quiet)
+        raws = call_llm_json_batch(
+            self.llm, requests, quiet=self.quiet,
+            max_tokens=states[ids[0]]["config"].get("llm_max_tokens"))
         for i, raw in zip(ids, raws):
             state = states[i]
             critique = parse_critic(raw, quiet=self.quiet)
@@ -264,7 +266,9 @@ class LockstepPipeline:
             critique = CriticResult.model_validate(state["critiques"][-1])
             critiques.append(critique)
             requests.append(editor_request(state["current_best"], critique))
-        raws = call_llm_json_batch(self.llm, requests, quiet=self.quiet)
+        raws = call_llm_json_batch(
+            self.llm, requests, quiet=self.quiet,
+            max_tokens=states[ids[0]]["config"].get("llm_max_tokens"))
         for i, raw, critique in zip(ids, raws, critiques):
             state = states[i]
             result = parse_editor(raw, state["current_best"], quiet=self.quiet)
@@ -335,7 +339,9 @@ class LockstepPipeline:
 
         arb_ids = list(versions_by_page)
         requests = [arbitrator_request(versions_by_page[i]) for i in arb_ids]
-        raws = call_llm_json_batch(self.llm, requests, quiet=self.quiet) \
+        raws = call_llm_json_batch(
+            self.llm, requests, quiet=self.quiet,
+            max_tokens=states[arb_ids[0]]["config"].get("llm_max_tokens")) \
             if requests else []
         for i, raw in zip(arb_ids, raws):
             state = states[i]

@@ -271,7 +271,8 @@ class OCRPipeline:
                 prev_critique = None
 
         critique = run_critic(self.llm, state["current_best"],
-                              previous_critique=prev_critique, quiet=self.quiet)
+                              previous_critique=prev_critique, quiet=self.quiet,
+                              max_tokens=state["config"].get("llm_max_tokens"))
         critiques = list(state["critiques"]) + [critique.model_dump()]
 
         confidence = critique.overall_confidence
@@ -324,7 +325,8 @@ class OCRPipeline:
         n_issues = sum(len(seg.issues) for seg in critique.segments)
 
         edit_result = run_editor(self.llm, state["current_best"], critique,
-                                 quiet=self.quiet)
+                                 quiet=self.quiet,
+                                 max_tokens=state["config"].get("llm_max_tokens"))
         edits = list(state["edits"]) + [edit_result.model_dump()]
 
         trace_events = [trace_log(
@@ -377,7 +379,8 @@ class OCRPipeline:
              "score": state["current_score"]},
             {"text": new_candidate["text"], "source": new_candidate["source"]},
         ]
-        arb_result = run_arbitrator(self.llm, versions, quiet=self.quiet)
+        arb_result = run_arbitrator(self.llm, versions, quiet=self.quiet,
+                                    max_tokens=state["config"].get("llm_max_tokens"))
 
         trace_events.append(trace_log(
             state,

@@ -222,7 +222,11 @@ def _paged_self_attention(layer: dict, cfg, x: jax.Array, cos, sin,
     # take the portable path below, which quantizes/dequantizes in XLA.
     kernel_aligned = (hd % 128 == 0 and cfg.num_key_value_heads % 4 == 0
                       and (pools[2] is None or pools[0].shape[2] % 128 == 0))
-    if (t <= 64 and paged_mode != "off"
+    # int8-KV append cannot span a block boundary (the RMW requantizes
+    # exactly one scale page); a t-token append into a sub-t block must
+    # take the portable path even in interpret mode.
+    int8_spill = pools[2] is not None and t > pools[0].shape[2]
+    if (t <= 64 and paged_mode != "off" and not int8_spill
             and (kernel_aligned or paged_mode == "interpret")):
         # Decode steps (t == 1), guided string chunks, speculative verify
         # blocks (t == K+1), and tiny prefills share the fused kernel;
