@@ -225,19 +225,25 @@ def read_throughput_bench(model, cfg, pages, budgets, iters, quant):
     preprocess = timer.wrap("preprocess", preprocess_and_pack,
                             sync=lambda out: np.asarray(out[0, 0, :1]))
 
-    def one_iteration() -> int:
+    def one_iteration(verbose: bool = False) -> int:
         patches = preprocess(jnp.asarray(pages_stacked))
+        if verbose:
+            _progress("read:   preprocess done")
         embeds = prompt_embeds(model.params, ids_batch, patches,
                                tuple(map(int, grid)))
+        if verbose:
+            _progress("read:   vision embeds done")
         requests = [GenRequest(prompt_ids=ids_row, max_new=budget,
                                positions=positions, rope_delta=delta,
                                embeds=embeds[row])
                     for row, budget in enumerate(budgets)]
         produced = batcher.run(requests)
+        if verbose:
+            _progress("read:   batcher run done")
         return sum(len(tokens) for tokens in produced)
 
     _progress("read: warm iteration (compiles all programs)...")
-    one_iteration()                       # compile + warm
+    one_iteration(verbose=True)           # compile + warm
     _progress("read: warm done, timing begins")
     timer.reset()
     start = time.perf_counter()
@@ -373,11 +379,14 @@ def qwen3_step_read_bytes(cfg, batch: int, mean_ctx: int, *,
     return (weights + kv) / tp
 
 
-def reasoning_bench() -> dict:
+def reasoning_bench(budget: int | None = None) -> dict:
     """Price the reasoning engine at realistic scale: an 8B-class Qwen3
     (4096 hidden / 36 layers / 32:8 GQA — the largest class one 16 GB
     chip serves in int8) through the production ContinuousBatcher on
     editor-style prompts, plus a schema-guided agent batch.
+
+    ``budget`` overrides the per-request decode budget (the compile
+    gauntlet passes a tiny one: identical programs, seconds of runtime).
 
     Random weights measure THROUGHPUT faithfully (weight-value-
     independent) but cannot demonstrate speculative acceptance (no
@@ -401,13 +410,14 @@ def reasoning_bench() -> dict:
                           intermediate_size=12288, num_hidden_layers=36,
                           num_attention_heads=32, num_key_value_heads=8,
                           head_dim=128, eos_token_id=-1)
-        batch, budget, prompt_len = 8, 384, 1024
+        batch, default_budget, prompt_len = 8, 384, 1024
     else:                                  # CPU smoke tier
         cfg = Qwen3Config(vocab_size=8192, hidden_size=64,
                           intermediate_size=128, num_hidden_layers=2,
                           num_attention_heads=4, num_key_value_heads=2,
                           head_dim=16, eos_token_id=-1)
-        batch, budget, prompt_len = 2, 16, 64
+        batch, default_budget, prompt_len = 2, 16, 64
+    budget = default_budget if budget is None else budget
     dtype = jnp.bfloat16 if use_tpu else jnp.float32
     params = init_qwen3(jax.random.PRNGKey(7), cfg, dtype=dtype,
                         quantize="int8" if use_tpu else None)
@@ -747,7 +757,8 @@ def main() -> None:
     if first is not None:
         read = first["read"]
         detail_store["read"] = {
-            **read, "_source": "live", "_wall_s": round(read_wall, 1),
+            **read, "_source": "live", "_backend": first["backend"],
+            "_wall_s": round(read_wall, 1),
             "_measured_at": time.strftime("%Y-%m-%d"),
             "workload": {"pages": n_pages, "budget_cap": budget_cap,
                          "mean_budget": round(float(np.mean(budgets)), 1),
@@ -773,10 +784,21 @@ def main() -> None:
     # available reasoning-engine measurement — this run's if the phase
     # already ran (bench_warm re-entry), else the carried BENCH_DETAIL
     # artifact (refreshed by scripts/bench_warm.py on this chip).
+    # Backend provenance is required: a TPU headline must never compose
+    # with a CPU smoke-tier reasoning measurement (sol_pct there is
+    # meaningless and poisons the projection).
+    def _entry_backend(entry: dict) -> str:
+        if entry.get("_backend"):
+            return entry["_backend"]
+        return ("cpu" if entry.get("model_class") == "tiny-smoke"
+                else "tpu")
+
     projection = None
     reasoning_carried = detail_store.get("reasoning")
-    if read is not None and reasoning_carried is not None \
-            and "reasoning_sol_pct" in reasoning_carried:
+    if read is not None and first["backend"] == "tpu" \
+            and reasoning_carried is not None \
+            and "reasoning_sol_pct" in reasoning_carried \
+            and _entry_backend(reasoning_carried) == "tpu":
         projection = flagship_projection(
             read, reasoning_carried, float(np.mean(budgets)))
         projection["reasoning_source"] = (
@@ -840,9 +862,10 @@ def main() -> None:
             key = {"spec": "speculation_trained"}.get(name, name)
             detail_store[key] = {
                 **result[key], "_source": "live",
+                "_backend": result.get("backend"),
                 "_measured_at": time.strftime("%Y-%m-%d"),
                 "_wall_s": round(wall, 1)}
-            if name == "reasoning":
+            if name == "reasoning" and first["backend"] == "tpu":
                 detail_store["flagship_projection"] = {
                     **flagship_projection(read, detail_store["reasoning"],
                                           float(np.mean(budgets))),

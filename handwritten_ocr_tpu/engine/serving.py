@@ -141,6 +141,15 @@ class GenRequest:
     # Pays off hugely for the editor/arbitrator agents, whose outputs
     # largely copy their prompts.
     speculate: bool = False
+    # Teacher-forced drafting (measurement harness, scripts/spec_scale_ab):
+    # when set, drafts are read from this token stream at the current
+    # generated offset instead of prompt-lookup — the verify/accept path
+    # is untouched production code, only the draft SOURCE differs. Lets
+    # acceptance be controlled at any model width (random weights never
+    # accept an n-gram draft), so speculation's dispatch economics are
+    # measurable at the width the engine actually serves. Never set by
+    # production callers.
+    draft_oracle: np.ndarray | None = None
     # Filled by the batcher:
     tokens: list[int] = dataclasses.field(default_factory=list)
     done: bool = False
@@ -867,10 +876,15 @@ class ContinuousBatcher:
                       request.max_new - len(request.tokens) - 1)
             if cap <= 0:
                 continue
-            context = np.concatenate([
-                np.asarray(request.prompt_ids, np.int32),
-                np.asarray(request.tokens, np.int32)])
-            draft = _ngram_draft(context, cap)
+            if request.draft_oracle is not None:
+                pos = len(request.tokens)
+                draft = np.asarray(
+                    request.draft_oracle[pos:pos + cap], np.int32)
+            else:
+                context = np.concatenate([
+                    np.asarray(request.prompt_ids, np.int32),
+                    np.asarray(request.tokens, np.int32)])
+                draft = _ngram_draft(context, cap)
             if len(draft) >= 2:
                 good += 1
             drafts[slot, :len(draft)] = draft

@@ -138,6 +138,15 @@ def _window_diff_fwd(qkv, cos, sin, valid, num_heads, window_len, scale,
 
 def _window_diff_bwd(num_heads, window_len, scale, interpret, packed,
                      res, g):
+    """Backward = autodiff through the pure-XLA reference (full per-window
+    fp32 score materialization). SCALE LIMIT, stated plainly: this is
+    sized for the tiny trained-fidelity A/B it serves (train/step.py at
+    toy widths) — at the flagship grid (54 windows x 64 tokens x 16
+    heads) the materialized scores would be fine for memory but the
+    recompute costs ~2x the forward; a flash-style backward kernel is
+    the round-5+ item if flagship-scale training ever matters. The
+    FORWARD production path is unaffected (inference uses the fused
+    kernel; this VJP only fires under jax.grad)."""
     qkv, cos, sin, valid = res
     _, vjp = jax.vjp(
         lambda x: _window_reference(x, cos, sin, valid, num_heads,

@@ -209,3 +209,82 @@ def test_flash_attention_kernel_on_chip():
     weights /= weights.sum(-1, keepdims=True)
     ref = np.einsum("bhgst,bthd->bshgd", weights, vf).reshape(b, s, hq, d)
     assert float(np.abs(got - ref).max()) < 0.03
+
+
+def test_reasoning_compile_gauntlet():
+    """Compile-and-run the EXACT 8B-class reasoning bench programs
+    (bench.py reasoning phase: paged prefill at prompt 1024, plain
+    chunked decode, speculative verify block, schema-guided agent batch)
+    with a tiny decode budget — compiles are the point. Round 4's bench
+    died cold-compiling this phase; it must fail red here first, inside
+    a wall-clock bound derived from the bench's phase budget."""
+    _require_tpu()
+    import time
+
+    import bench
+
+    start = time.monotonic()
+    result = bench.reasoning_bench(budget=24)
+    wall = time.monotonic() - start
+    assert result["model_class"].startswith("qwen3-8B")
+    assert result["reasoning_tokens_per_sec"] > 0
+    assert result["guided_complete"] >= 0
+    assert wall < bench.PHASE_ESTIMATES_S["reasoning"] * 4, (
+        f"reasoning gauntlet took {wall:.0f}s — the bench phase budget "
+        f"({bench.PHASE_ESTIMATES_S['reasoning']}s warm estimate) is "
+        "unrealistic; re-measure or cut compile cost")
+
+
+def test_spec_train_compile_gauntlet():
+    """Compile-and-run the trained-speculation bench phase (train step +
+    batcher programs at the LM-phase scale) with the train loop capped
+    to 2 steps — every program the spec phase compiles, in bounded
+    wall-clock."""
+    _require_tpu()
+    import os
+    import time
+
+    import bench
+
+    os.environ["HOCR_TRAIN_STEPS"] = "2"
+    try:
+        start = time.monotonic()
+        result = bench.speculation_trained_bench()
+        wall = time.monotonic() - start
+    finally:
+        os.environ.pop("HOCR_TRAIN_STEPS", None)
+    assert result["train_steps"] == 2
+    assert "net_speedup" in result
+    assert wall < bench.PHASE_ESTIMATES_S["spec"] * 4, (
+        f"spec gauntlet took {wall:.0f}s vs phase estimate "
+        f"{bench.PHASE_ESTIMATES_S['spec']}s")
+
+
+def test_pipeline_compile_gauntlet():
+    """Compile-and-run the pipeline-latency bench programs (full agentic
+    loop: flagship read -> schema-constrained critic/editor) on ONE page.
+    The 7B init + compile dominates; the run itself is seconds."""
+    _require_tpu()
+    import time
+
+    import bench
+    import jax
+    import jax.numpy as jnp
+
+    from handwritten_ocr_tpu.models.init import init_vl
+    from handwritten_ocr_tpu.models.processor import ByteTokenizer
+    from handwritten_ocr_tpu.models.qwen25vl.model import VLModel
+
+    cfg = bench.build_config("7b")
+    params = init_vl(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16,
+                     quantize="int8")
+    model = VLModel(params, cfg)
+    start = time.monotonic()
+    result = bench.pipeline_latency_bench(
+        model, cfg, bench.synthetic_pages(2), ByteTokenizer())
+    wall = time.monotonic() - start
+    assert result["pages"] == 2
+    assert result["p50_page_latency_reduced_s"] > 0
+    assert wall < bench.PHASE_ESTIMATES_S["pipeline"] * 4, (
+        f"pipeline gauntlet took {wall:.0f}s vs phase estimate "
+        f"{bench.PHASE_ESTIMATES_S['pipeline']}s")
