@@ -9,6 +9,7 @@ knobs that have no reference counterpart (mesh shape, dtype, decode block).
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Sequence
 
 # ── Reasoning-LLM configuration (reference config.py:7-13) ──────────
@@ -84,6 +85,13 @@ SERVE_PREFILL_BUCKET = 128
 # inside the fused decode kernel. Halves pool HBM and page-DMA bytes;
 # CPU test runs keep full-precision KV for bit-comparability.
 SERVE_KV_INT8 = True
+
+# Pages per vision-tower dispatch: batches wider than this encode in
+# sequential chunks (lax.map) inside one jitted program. The tower is
+# compute-bound, so chunking costs ~nothing while capping the program's
+# temp arena (a batch-24 flagship encode peaked ~2.3 GB next to the
+# int8 7B params + KV pools — past the chip's usable HBM).
+SERVE_VISION_CHUNK = int(os.environ.get("HOCR_VISION_CHUNK", "8"))
 
 
 @dataclasses.dataclass(frozen=True)

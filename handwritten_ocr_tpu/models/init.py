@@ -7,14 +7,33 @@ random and checkpoint weights.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from handwritten_ocr_tpu.models.qwen25vl.config import VLConfig, VisionConfig
 
 
 def _split(key, n):
     return list(jax.random.split(key, n))
+
+
+def stack_layers(layers: list) -> dict:
+    """Stack identically-structured per-layer param dicts into one dict
+    of ``[L, ...]`` arrays — the layout ``lax.scan`` consumes (one traced
+    layer body instead of an L-times unrolled graph). int8 per-column
+    scales stack to ``[L, out]``; per-layer slices are identical to the
+    unstacked tree, so numerics are unchanged."""
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *layers)
+
+
+def unstack_layers(stacked: dict) -> list:
+    """Inverse of :func:`stack_layers` (debug / interop)."""
+    n = jax.tree_util.tree_leaves(stacked)[0].shape[0]
+    return [jax.tree_util.tree_map(lambda x: x[i], stacked)
+            for i in range(n)]
 
 
 _QUANTIZE = False  # module-level switch set by init_vl(quantize=...)
@@ -37,6 +56,101 @@ def _linear(key, d_in, d_out, dtype, bias=False, scale=0.02, quant_ok=True):
     return params
 
 
+def _sync(x) -> None:
+    """Force the device queue to drain through ``x`` (1-element fetch).
+    jax.block_until_ready does NOT actually synchronize on the axon TPU
+    tunnel, so without a fetch the whole init enqueues ahead of its
+    frees and the transient staging collides with later programs."""
+    np.asarray(jax.device_get(
+        jax.tree_util.tree_leaves(x)[0].reshape(-1)[:1]))
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5))
+def _gen_stacked(key, n, d_in, d_out, quantize: bool, dtype_name: str):
+    """Generate a layer-stacked linear weight ``[n, d_in, d_out]`` with
+    the f32 staging BOUNDED: a lax.map over layers generates + casts (or
+    quantizes, per-column absmax exactly like quant._quantize_linear)
+    one layer at a time inside the program's temp arena. One dispatch,
+    no 2x-tree transient — building per-layer arrays then stacking
+    doubled the whole 7B tree (~16 GB) and OOMed the next program."""
+    keys = jax.random.split(key, n)
+
+    def gen_one(k):
+        w = jax.random.normal(k, (d_in, d_out), jnp.float32) * 0.02
+        if quantize:
+            absmax = jnp.max(jnp.abs(w), axis=0, keepdims=True)
+            s = jnp.maximum(absmax, 1e-8) / 127.0
+            q = jnp.clip(jnp.round(w / s), -127, 127).astype(jnp.int8)
+            return q, s[0]
+        return w.astype(jnp.dtype(dtype_name)), jnp.zeros((1,), jnp.float32)
+
+    return jax.lax.map(gen_one, keys)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5))
+def _gen_wide(key, d_in, d_out, cols, quantize: bool, dtype_name: str):
+    """Generate one wide 2D weight ``[d_in, d_out]`` in column chunks
+    of ``cols`` via lax.map (bounded staging — the 7B lm_head is 2.2 GB
+    in f32). Column chunking keeps per-column quantization scales exact.
+    Requires cols to divide d_out."""
+    n_chunks = d_out // cols
+    keys = jax.random.split(key, n_chunks)
+
+    def gen_one(k):
+        w = jax.random.normal(k, (d_in, cols), jnp.float32) * 0.02
+        if quantize:
+            absmax = jnp.max(jnp.abs(w), axis=0, keepdims=True)
+            s = jnp.maximum(absmax, 1e-8) / 127.0
+            q = jnp.clip(jnp.round(w / s), -127, 127).astype(jnp.int8)
+            return q, s[0]
+        return w.astype(jnp.dtype(dtype_name)), jnp.zeros((1,), jnp.float32)
+
+    w, s = jax.lax.map(gen_one, keys)           # [C, d_in, cols], [C, cols]
+    return jnp.swapaxes(w, 0, 1).reshape(d_in, n_chunks * cols), s.reshape(-1)
+
+
+def _wide_cols(d_in: int, d_out: int) -> int:
+    """Largest column chunk that divides d_out with f32 staging <=
+    ~0.4 GB (or d_out itself when it is already small)."""
+    if d_in * d_out * 4 <= 400e6:
+        return d_out
+    target = max(1, int(400e6 // (d_in * 4)))
+    for cols in range(min(target, d_out), 0, -1):
+        if d_out % cols == 0:
+            return cols
+    return d_out
+
+
+def _linear_stack(key, n, d_in, d_out, dtype, bias=False, scale=0.02,
+                  quant_ok=True):
+    """Layer-stacked linear init ``{w|w_q+w_scale} [n, d_in, d_out]``."""
+    quantize = _QUANTIZE and quant_ok
+    w, s = _gen_stacked(key, n, d_in, d_out, quantize, jnp.dtype(dtype).name)
+    params = ({"w_q": w, "w_scale": s} if quantize else {"w": w})
+    if bias:
+        params["b"] = jnp.zeros((n, d_out), dtype)
+    return params
+
+
+def _linear_wide(key, d_in, d_out, dtype, quant_ok=True):
+    """One wide 2D linear (lm_head / embed scale) with bounded staging."""
+    quantize = _QUANTIZE and quant_ok
+    cols = _wide_cols(d_in, d_out)
+    w, s = _gen_wide(key, d_in, d_out, cols, quantize, jnp.dtype(dtype).name)
+    return ({"w_q": w, "w_scale": s} if quantize else {"w": w})
+
+
+def _norm_stack(n, dim, dtype):
+    return {"scale": jnp.ones((n, dim), dtype)}
+
+
+def _mlp_stack(key, n, d, inter, dtype, bias=False):
+    k1, k2, k3 = jax.random.split(key, 3)
+    return {"gate": _linear_stack(k1, n, d, inter, dtype, bias),
+            "up": _linear_stack(k2, n, d, inter, dtype, bias),
+            "down": _linear_stack(k3, n, inter, d, dtype, bias)}
+
+
 def _norm(dim, dtype):
     return {"scale": jnp.ones((dim,), dtype)}
 
@@ -49,24 +163,22 @@ def _mlp(key, d, inter, dtype, bias=False):
 
 
 def init_vision(key, cfg: VisionConfig, dtype=jnp.bfloat16) -> dict:
-    keys = _split(key, cfg.depth + 2)
+    keys = _split(key, 3)
     patch_dim = cfg.in_channels * cfg.temporal_patch_size * cfg.patch_size ** 2
-    blocks = []
-    for i in range(cfg.depth):
-        ka, km = jax.random.split(keys[i])
-        k_qkv, k_proj = jax.random.split(ka)
-        blocks.append({
-            "norm1": _norm(cfg.hidden_size, dtype),
-            "norm2": _norm(cfg.hidden_size, dtype),
-            "attn": {
-                "qkv": _linear(k_qkv, cfg.hidden_size, 3 * cfg.hidden_size,
-                               dtype, bias=True),
-                "proj": _linear(k_proj, cfg.hidden_size, cfg.hidden_size,
-                                dtype, bias=True),
-            },
-            "mlp": _mlp(km, cfg.hidden_size, cfg.intermediate_size, dtype,
-                        bias=True),
-        })
+    n = cfg.depth
+    k_qkv, k_proj, km = jax.random.split(keys[0], 3)
+    blocks = {
+        "norm1": _norm_stack(n, cfg.hidden_size, dtype),
+        "norm2": _norm_stack(n, cfg.hidden_size, dtype),
+        "attn": {
+            "qkv": _linear_stack(k_qkv, n, cfg.hidden_size,
+                                 3 * cfg.hidden_size, dtype, bias=True),
+            "proj": _linear_stack(k_proj, n, cfg.hidden_size,
+                                  cfg.hidden_size, dtype, bias=True),
+        },
+        "mlp": _mlp_stack(km, n, cfg.hidden_size, cfg.intermediate_size,
+                          dtype, bias=True),
+    }
     k_m1, k_m2 = jax.random.split(keys[-1])
     merged = cfg.hidden_size * cfg.spatial_merge_unit
     return {
@@ -83,41 +195,47 @@ def init_vision(key, cfg: VisionConfig, dtype=jnp.bfloat16) -> dict:
 
 def init_text(key, cfg, dtype=jnp.bfloat16, qk_norm: bool = False,
               attn_bias: bool = True) -> dict:
-    n_layers = cfg.num_hidden_layers
-    keys = _split(key, n_layers + 3)
+    n = cfg.num_hidden_layers
+    keys = _split(key, 3)
     hd = cfg.head_dim
-    layers = []
-    for i in range(n_layers):
-        kq, kk, kv, ko, km = jax.random.split(keys[i], 5)
-        attn = {
-            "q": _linear(kq, cfg.hidden_size, cfg.num_attention_heads * hd,
-                         dtype, bias=attn_bias),
-            "k": _linear(kk, cfg.hidden_size, cfg.num_key_value_heads * hd,
-                         dtype, bias=attn_bias),
-            "v": _linear(kv, cfg.hidden_size, cfg.num_key_value_heads * hd,
-                         dtype, bias=attn_bias),
-            "o": _linear(ko, cfg.num_attention_heads * hd, cfg.hidden_size,
-                         dtype),
-        }
-        if qk_norm:
-            attn["q_norm"] = _norm(hd, dtype)
-            attn["k_norm"] = _norm(hd, dtype)
-        layers.append({
-            "ln1": _norm(cfg.hidden_size, dtype),
-            "ln2": _norm(cfg.hidden_size, dtype),
-            "attn": attn,
-            "mlp": _mlp(km, cfg.hidden_size, cfg.intermediate_size, dtype),
-        })
+    kq, kk, kv, ko, km = jax.random.split(keys[0], 5)
+    attn = {
+        "q": _linear_stack(kq, n, cfg.hidden_size,
+                           cfg.num_attention_heads * hd, dtype,
+                           bias=attn_bias),
+        "k": _linear_stack(kk, n, cfg.hidden_size,
+                           cfg.num_key_value_heads * hd, dtype,
+                           bias=attn_bias),
+        "v": _linear_stack(kv, n, cfg.hidden_size,
+                           cfg.num_key_value_heads * hd, dtype,
+                           bias=attn_bias),
+        "o": _linear_stack(ko, n, cfg.num_attention_heads * hd,
+                           cfg.hidden_size, dtype),
+    }
+    if qk_norm:
+        attn["q_norm"] = _norm_stack(n, hd, dtype)
+        attn["k_norm"] = _norm_stack(n, hd, dtype)
+    layers = {
+        "ln1": _norm_stack(n, cfg.hidden_size, dtype),
+        "ln2": _norm_stack(n, cfg.hidden_size, dtype),
+        "attn": attn,
+        "mlp": _mlp_stack(km, n, cfg.hidden_size, cfg.intermediate_size,
+                          dtype),
+    }
+    # Embed and lm_head are the two biggest single tensors (2.2 GB f32
+    # staging each at 7B) — generate both with bounded staging.
+    vocab, hidden = cfg.vocab_size, cfg.hidden_size
+    rows = _wide_cols(hidden, vocab)
+    emb, _ = _gen_stacked(keys[-1], vocab // rows, rows, hidden, False,
+                          jnp.dtype(dtype).name)
     tree = {
-        "embed": {"w": (jax.random.normal(
-            keys[-1], (cfg.vocab_size, cfg.hidden_size), jnp.float32)
-            * 0.02).astype(dtype)},
+        "embed": {"w": emb.reshape(vocab, hidden)},
         "layers": layers,
         "final_norm": _norm(cfg.hidden_size, dtype),
     }
     if not cfg.tie_word_embeddings:
-        tree["lm_head"] = _linear(keys[-2], cfg.hidden_size, cfg.vocab_size,
-                                  dtype)
+        tree["lm_head"] = _linear_wide(keys[-2], hidden, vocab, dtype)
+    _sync(tree["embed"])               # drain before the caller's programs
     return tree
 
 

@@ -299,13 +299,33 @@ def paged_forward(params: dict, cfg, embeds: jax.Array,
     cos, sin = mrope_cos_sin(cfg, position_ids)
     x = embeds
     pools = (cache.k, cache.v, cache.k_scale, cache.v_scale)
-    for idx, layer in enumerate(params["layers"]):
+
+    def layer_step(x, pools, layer, idx):
         attn_out, pools = _paged_self_attention(
             layer["attn"], cfg, rms_norm(layer["ln1"], x, cfg.rms_norm_eps),
             cos, sin, idx, pools, tables, start, n_valid, fresh)
         x = x + attn_out
         x = x + swiglu_mlp(layer["mlp"],
                            rms_norm(layer["ln2"], x, cfg.rms_norm_eps))
+        return x, pools
+
+    layers = params["layers"]
+    if isinstance(layers, dict):
+        # Stacked layout (models/init.stack_layers): scan compiles ONE
+        # layer body (and one Pallas kernel instance) for the whole
+        # stack instead of an L-times unrolled graph — the difference
+        # between minutes and seconds of XLA compile on a 1-core host.
+        n_layers = jax.tree_util.tree_leaves(layers)[0].shape[0]
+
+        def scan_body(carry, xs):
+            layer, idx = xs
+            return layer_step(*carry, layer, idx), None
+
+        (x, pools), _ = jax.lax.scan(
+            scan_body, (x, pools), (layers, jnp.arange(n_layers)))
+    else:                                       # legacy per-layer list
+        for idx, layer in enumerate(layers):
+            x, pools = layer_step(x, pools, layer, idx)
 
     x = rms_norm(params["final_norm"], x, cfg.rms_norm_eps)
 

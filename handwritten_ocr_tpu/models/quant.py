@@ -34,11 +34,15 @@ _QUANT_PARENTS = {"q", "k", "v", "o", "qkv", "proj", "gate", "up", "down",
 
 
 def _quantize_linear(linear_params: dict) -> dict:
+    """Per-output-channel absmax quantization of ``w [in, out]`` or a
+    layer-stacked ``w [L, in, out]`` (scales stay per layer per column —
+    bit-identical to quantizing each layer separately)."""
     w = linear_params["w"].astype(jnp.float32)
-    absmax = jnp.max(jnp.abs(w), axis=0, keepdims=True)         # [1, out]
+    absmax = jnp.max(jnp.abs(w), axis=-2, keepdims=True)    # [..., 1, out]
     scale = jnp.maximum(absmax, 1e-8) / 127.0
     w_q = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
-    out = {"w_q": w_q, "w_scale": scale[0].astype(jnp.float32)}
+    out = {"w_q": w_q,
+           "w_scale": jnp.squeeze(scale, axis=-2).astype(jnp.float32)}
     if "b" in linear_params:
         out["b"] = linear_params["b"]
     return out
@@ -55,7 +59,7 @@ def quantize_tree(params: Any, lm_head: bool = True) -> Any:
             quantizable = key in _QUANT_PARENTS and (key != "lm_head"
                                                      or lm_head)
             if (isinstance(value, dict) and quantizable
-                    and "w" in value and value["w"].ndim == 2):
+                    and "w" in value and value["w"].ndim in (2, 3)):
                 out[key] = _quantize_linear(value)
             else:
                 out[key] = quantize_tree(value, lm_head=lm_head)

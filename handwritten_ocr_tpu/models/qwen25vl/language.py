@@ -70,8 +70,7 @@ def _self_attention(
     x: jax.Array,
     cos: jax.Array,
     sin: jax.Array,
-    layer_idx: int,
-    cache: KVCache | None,
+    layer_cache: tuple | None,     # (k [B,S,H,D], v, cursor) for this layer
     key_padding: jax.Array | None,
 ):
     b, t, _ = x.shape
@@ -85,11 +84,13 @@ def _self_attention(
     q, k = apply_rope(q, k, cos[:, :, None, :], sin[:, :, None, :])
 
     new_k = new_v = None
-    if cache is not None:
+    cursor = None
+    if layer_cache is not None:
+        cache_k, cache_v, cursor = layer_cache
         new_k = jax.lax.dynamic_update_slice_in_dim(
-            cache.k[layer_idx], k.astype(cache.k.dtype), cache.cursor, axis=1)
+            cache_k, k.astype(cache_k.dtype), cursor, axis=1)
         new_v = jax.lax.dynamic_update_slice_in_dim(
-            cache.v[layer_idx], v.astype(cache.v.dtype), cache.cursor, axis=1)
+            cache_v, v.astype(cache_v.dtype), cursor, axis=1)
 
     from handwritten_ocr_tpu.ops.dispatch import flash_mode
     mode = flash_mode()
@@ -103,7 +104,7 @@ def _self_attention(
                               interpret=(mode == "interpret"))
         return linear(layer["o"], out.reshape(b, t, -1)), new_k, new_v
 
-    if cache is None:
+    if layer_cache is None:
         keys, values = k, v
         rows = jnp.arange(t)[:, None]
         cols = jnp.arange(t)[None, :]
@@ -111,7 +112,7 @@ def _self_attention(
     else:
         keys, values = new_k, new_v
         s_max = keys.shape[1]
-        rows = cache.cursor + jnp.arange(t)[:, None]
+        rows = cursor + jnp.arange(t)[:, None]
         cols = jnp.arange(s_max)[None, :]
         mask = (cols <= rows)[None, None]                            # [1,1,T,S]
 
@@ -139,23 +140,53 @@ def text_forward(
     """
     cos, sin = mrope_cos_sin(cfg, position_ids)
     x = embeds
-    new_ks, new_vs = [], []
-    for idx, layer in enumerate(params["layers"]):
+    layers = params["layers"]
+
+    def layer_step(x, layer, layer_cache):
+        """One decoder layer; layer_cache = (k, v, cursor) or None."""
         attn_out, nk, nv = _self_attention(
             layer["attn"], cfg, rms_norm(layer["ln1"], x, cfg.rms_norm_eps),
-            cos, sin, idx, cache, key_padding)
+            cos, sin, layer_cache, key_padding)
         x = x + attn_out
-        x = x + swiglu_mlp(layer["mlp"], rms_norm(layer["ln2"], x, cfg.rms_norm_eps))
-        if nk is not None:
-            new_ks.append(nk)
-            new_vs.append(nv)
-
-    x = rms_norm(params["final_norm"], x, cfg.rms_norm_eps)
+        x = x + swiglu_mlp(layer["mlp"],
+                           rms_norm(layer["ln2"], x, cfg.rms_norm_eps))
+        return x, nk, nv
 
     new_cache = None
-    if cache is not None:
-        new_cache = KVCache(k=jnp.stack(new_ks), v=jnp.stack(new_vs),
-                            cursor=cache.cursor + embeds.shape[1])
+    if isinstance(layers, dict):
+        # Stacked layout: one scanned layer body (see models/paged.py) —
+        # the per-layer cache slabs ride the scan as xs, updated slabs
+        # come back stacked as ys.
+        if cache is not None:
+            def scan_body(x, xs):
+                layer, ck, cv = xs
+                x, nk, nv = layer_step(x, layer, (ck, cv, cache.cursor))
+                return x, (nk, nv)
+
+            x, (new_k, new_v) = jax.lax.scan(
+                scan_body, x, (layers, cache.k, cache.v))
+            new_cache = KVCache(k=new_k, v=new_v,
+                                cursor=cache.cursor + embeds.shape[1])
+        else:
+            def scan_body(x, layer):
+                x, _, _ = layer_step(x, layer, None)
+                return x, None
+
+            x, _ = jax.lax.scan(scan_body, x, layers)
+    else:                                       # legacy per-layer list
+        new_ks, new_vs = [], []
+        for idx, layer in enumerate(layers):
+            layer_cache = (None if cache is None
+                           else (cache.k[idx], cache.v[idx], cache.cursor))
+            x, nk, nv = layer_step(x, layer, layer_cache)
+            if nk is not None:
+                new_ks.append(nk)
+                new_vs.append(nv)
+        if cache is not None:
+            new_cache = KVCache(k=jnp.stack(new_ks), v=jnp.stack(new_vs),
+                                cursor=cache.cursor + embeds.shape[1])
+
+    x = rms_norm(params["final_norm"], x, cfg.rms_norm_eps)
     return x, new_cache
 
 

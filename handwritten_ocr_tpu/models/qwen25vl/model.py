@@ -104,10 +104,50 @@ class VLModel:
             embeds = jnp.where(image_mask, gathered, embeds)
         return embeds
 
-    @functools.partial(jax.jit, static_argnums=(0, 4))
+    @functools.partial(jax.jit, static_argnums=(0, 3))
+    def _vision_embeds(self, params, patches, grid):
+        from handwritten_ocr_tpu.config import SERVE_VISION_CHUNK
+        batch = patches.shape[0]
+        chunk = max(1, SERVE_VISION_CHUNK)
+        if batch <= chunk:
+            return vision_encode(params["vision"], self.config.vision,
+                                 patches, grid)
+        # Wide batches encode in sequential page chunks (lax.map): the
+        # tower is compute-bound, so this costs ~nothing but caps the
+        # program's temp arena at one chunk's activations — batch 24
+        # peaked ~2.3 GB in one dispatch, past the chip's usable HBM
+        # next to the int8 7B params and the KV pools.
+        pad = (-batch) % chunk
+        if pad:
+            patches = jnp.concatenate([patches, patches[:pad]], axis=0)
+        stacked = patches.reshape(-1, chunk, *patches.shape[1:])
+        out = jax.lax.map(
+            lambda block: vision_encode(params["vision"],
+                                        self.config.vision, block, grid),
+            stacked)
+        return out.reshape(-1, *out.shape[2:])[:batch]
+
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def _splice_embeds(self, params, input_ids, image_embeds):
+        cfg = self.config
+        embeds = params["text"]["embed"]["w"][input_ids]
+        image_embeds = image_embeds.astype(embeds.dtype)
+        image_mask = (input_ids == cfg.image_token_id)[..., None]
+        slot = jnp.cumsum(image_mask[..., 0], axis=1) - 1
+        slot = jnp.clip(slot, 0, image_embeds.shape[1] - 1)
+        gathered = jnp.take_along_axis(image_embeds, slot[..., None], axis=1)
+        return jnp.where(image_mask, gathered, embeds)
+
     def prompt_embeds(self, params, input_ids, patches, grid):
-        """Jitted vision encode + splice (the paged-serving prefill input)."""
-        return self._spliced_embeds(params, input_ids, patches, grid)
+        """Vision encode + splice (the paged-serving prefill input).
+
+        Two dispatches on purpose: the flagship vision program's
+        workspace at batch 24 sits near the HBM edge next to the int8
+        params + KV pools; keeping the embed-lookup/splice buffers out
+        of the same program (their peaks don't stack) is ~0.7 GB of
+        headroom at the bench grid."""
+        image_embeds = self._vision_embeds(params, patches, grid)
+        return self._splice_embeds(params, input_ids, image_embeds)
 
     @functools.partial(jax.jit, static_argnums=(0, 4, 5))
     def _prefill(self, params, input_ids, patches, grid, max_new, position_ids):

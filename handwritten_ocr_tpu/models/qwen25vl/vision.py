@@ -277,15 +277,56 @@ def vision_encode(params: dict, cfg: VisionConfig, patches: jax.Array,
     sin_w = sin.reshape(n_win, win_len, -1)
 
     full_layers = set(cfg.fullatt_block_indexes)
-    for i, layer in enumerate(params["blocks"]):
+    blocks = params["blocks"]
+
+    def window_layer(x, layer):
         normed = rms_norm(layer["norm1"], x, _NORM_EPS)
-        if i in full_layers:
-            attn_out = _attend_full(layer["attn"], cfg, normed, cos, sin, valid)
-        else:
-            attn_out = _attend_windows(layer["attn"], cfg, normed,
-                                       cos_w, sin_w, win_valid)
-        x = x + attn_out
-        x = x + swiglu_mlp(layer["mlp"], rms_norm(layer["norm2"], x, _NORM_EPS))
+        x = x + _attend_windows(layer["attn"], cfg, normed,
+                                cos_w, sin_w, win_valid)
+        return x + swiglu_mlp(layer["mlp"],
+                              rms_norm(layer["norm2"], x, _NORM_EPS))
+
+    def full_layer(x, layer):
+        normed = rms_norm(layer["norm1"], x, _NORM_EPS)
+        x = x + _attend_full(layer["attn"], cfg, normed, cos, sin, valid)
+        return x + swiglu_mlp(layer["mlp"],
+                              rms_norm(layer["norm2"], x, _NORM_EPS))
+
+    if isinstance(blocks, dict):
+        # Stacked layout: lax.scan over each contiguous run of window
+        # layers, full-attention layers applied singly between runs.
+        # ~8 traced layer bodies instead of a depth-times unrolled graph
+        # (cold XLA compile on a 1-core host is what gates the driver
+        # bench window). Two HBM-pressure lessons are baked in — the
+        # chip's usable HBM next to the int8 7B params is tight:
+        #   * segments rather than one scan+cond (a cond in the body
+        #     unioned both branches' workspace);
+        #   * the scan runs over an INDEX array with an in-body dynamic
+        #     gather of the layer slice, not over tree slices
+        #     ``a[start:stop]`` — those materialized per-segment weight
+        #     copies (~0.6 GB at 7B) in the program's temp arena.
+        depth = jax.tree_util.tree_leaves(blocks)[0].shape[0]
+
+        def window_scan_body(x, idx):
+            layer = jax.tree_util.tree_map(
+                lambda a: jax.lax.dynamic_index_in_dim(
+                    a, idx, keepdims=False), blocks)
+            return window_layer(x, layer), None
+
+        boundaries = sorted(i for i in full_layers if i < depth)
+        start = 0
+        for boundary in boundaries + [depth]:
+            if boundary > start:
+                x, _ = jax.lax.scan(window_scan_body, x,
+                                    jnp.arange(start, boundary))
+            if boundary < depth:
+                layer = jax.tree_util.tree_map(
+                    lambda a: a[boundary], blocks)
+                x = full_layer(x, layer)
+            start = boundary + 1
+    else:                                       # legacy per-layer list
+        for i, layer in enumerate(blocks):
+            x = (full_layer if i in full_layers else window_layer)(x, layer)
 
     # ONE gather back to the permuted (unpadded) order, then the merger:
     # RMSNorm at patch level, fold each cell's `unit` patches, MLP to LM width.

@@ -18,6 +18,8 @@ from typing import Mapping
 import jax.numpy as jnp
 import numpy as np
 
+from handwritten_ocr_tpu.models.init import stack_layers
+
 
 def _to_numpy(tensor) -> np.ndarray:
     if isinstance(tensor, np.ndarray):
@@ -102,7 +104,7 @@ def convert_vl(source, vl_config, dtype=jnp.bfloat16) -> dict:
     vision = {
         "patch_embed": {"w": jnp.asarray(
             patch_w.reshape(patch_w.shape[0], -1).T, dtype)},
-        "blocks": [
+        "blocks": stack_layers([
             {
                 "norm1": _norm(vis, f"blocks.{i}.norm1", dtype),
                 "norm2": _norm(vis, f"blocks.{i}.norm2", dtype),
@@ -113,7 +115,7 @@ def convert_vl(source, vl_config, dtype=jnp.bfloat16) -> dict:
                 "mlp": _mlp(vis, f"blocks.{i}.mlp", dtype),
             }
             for i in range(vl_config.vision.depth)
-        ],
+        ]),
         "merger": {
             "ln_q": _norm(vis, "merger.ln_q", dtype),
             "fc1": _linear(vis, "merger.mlp.0", dtype),
@@ -161,6 +163,6 @@ def _text_tree(txt: _Namer, num_layers: int, dtype, qk_norm: bool) -> dict:
         })
     return {
         "embed": {"w": jnp.asarray(txt.get("embed_tokens.weight"), dtype)},
-        "layers": layers,
+        "layers": stack_layers(layers),
         "final_norm": _norm(txt, "norm", dtype),
     }

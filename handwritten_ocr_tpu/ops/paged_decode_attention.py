@@ -1,6 +1,8 @@
 """Fused append + paged GQA attention (Pallas TPU): the decode hot loop.
 
-One kernel per decoder layer per step does BOTH halves of paged-cache
+One kernel invocation per decoder layer per step (a single compiled
+kernel — the layer index is a scalar-prefetch operand, so the lax.scan
+over stacked layer params reuses it) does BOTH halves of paged-cache
 attention that the unfused path paid separately:
 
 1. **Append**: the step's new k/v rows DMA straight into their pool page
@@ -53,9 +55,14 @@ _NEG_INF = -0.7 * float(np.finfo(np.float32).max)
 _CHUNK_TOKENS = 512
 
 
-def _kernel(tables_ref, start_ref, nvalid_ref,           # scalar prefetch
+def _kernel(layer_ref, tables_ref, start_ref, nvalid_ref,  # scalar prefetch
             q_ref, k_new_ref, v_new_ref, *rest,
-            layer: int, t: int, scale: float, quant: bool):
+            t: int, scale: float, quant: bool):
+    # Dynamic layer index (scalar-prefetch): ONE compiled kernel serves
+    # every decoder layer, so a lax.scan over stacked layer params reuses
+    # it — 28 static-layer instances per program was the dominant cold-
+    # compile cost on a 1-core host.
+    layer = layer_ref[0]
     if quant:
         (_k_in, _v_in, _ks_in, _vs_in,
          o_ref, k_pool_ref, v_pool_ref, ks_pool_ref, vs_pool_ref,
@@ -300,7 +307,7 @@ def _kernel(tables_ref, start_ref, nvalid_ref,           # scalar prefetch
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("layer", "scale", "interpret"))
+                   static_argnames=("scale", "interpret"))
 def paged_append_attention(
     q: jax.Array,        # [S, T, Hq, D]
     k_new: jax.Array,    # [S, T, Hkv, D]
@@ -313,7 +320,7 @@ def paged_append_attention(
     k_scale_pool: jax.Array | None = None,   # [L, N, Hkv, BS] f32 (int8 KV)
     v_scale_pool: jax.Array | None = None,
     *,
-    layer: int,
+    layer: int | jax.Array,
     scale: float,
     interpret: bool = False,
 ) -> tuple[jax.Array, ...]:
@@ -350,8 +357,7 @@ def paged_append_attention(
             f"int8-KV append of {t} tokens exceeds the block size {bs}; "
             "the scale RMW covers at most two pages (t <= block_size)")
     ppc = max(1, _CHUNK_TOKENS // bs)
-    kernel = functools.partial(_kernel, layer=layer, t=t, scale=scale,
-                               quant=quant)
+    kernel = functools.partial(_kernel, t=t, scale=scale, quant=quant)
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
     n_pools = 4 if quant else 2
     in_specs = [
@@ -386,7 +392,7 @@ def paged_append_attention(
         pltpu.SemaphoreType.DMA(()),
     ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3, grid=(s,),
+        num_scalar_prefetch=4, grid=(s,),
         in_specs=in_specs, out_specs=out_specs,
         scratch_shapes=scratch_shapes)
     out_shape = [
@@ -394,14 +400,15 @@ def paged_append_attention(
         jax.ShapeDtypeStruct(k_pool.shape, k_pool.dtype),
         jax.ShapeDtypeStruct(v_pool.shape, v_pool.dtype),
     ]
-    # operand order: 3 prefetch scalars, q, k_new, v_new, then the pools
-    aliases = {6: 1, 7: 2}
-    operands = [tables, start.astype(jnp.int32), n_valid.astype(jnp.int32),
+    # operand order: 4 prefetch scalars, q, k_new, v_new, then the pools
+    aliases = {7: 1, 8: 2}
+    operands = [jnp.asarray(layer, jnp.int32).reshape(1),
+                tables, start.astype(jnp.int32), n_valid.astype(jnp.int32),
                 qr, k_new, v_new, k_pool, v_pool]
     if quant:
         out_shape += [jax.ShapeDtypeStruct(k_scale_pool.shape, jnp.float32),
                       jax.ShapeDtypeStruct(v_scale_pool.shape, jnp.float32)]
-        aliases.update({8: 3, 9: 4})
+        aliases.update({9: 3, 10: 4})
         operands += [k_scale_pool, v_scale_pool]
     results = pl.pallas_call(
         kernel,

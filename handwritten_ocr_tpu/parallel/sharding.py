@@ -46,6 +46,11 @@ def _spec_for_path(path: tuple[str, ...], shape: tuple[int, ...],
     else:                                # norms, misc
         spec = P(*([None] * len(shape)))
 
+    # Layer-stacked leaves (models/init.stack_layers) carry a leading
+    # [L] dim the per-layer spec knows nothing about: replicate it.
+    if ("layers" in names or "blocks" in names) and len(spec) < len(shape):
+        spec = P(None, *spec)
+
     if fsdp:
         spec = _add_fsdp(spec, shape)
     return spec

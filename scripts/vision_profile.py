@@ -74,7 +74,7 @@ def main() -> None:
 
     key = jax.random.PRNGKey(0)
     params = init_vision(key, cfg, dtype=jnp.bfloat16)
-    layer = params["blocks"][0]
+    layer = jax.tree_util.tree_map(lambda x: x[0], params["blocks"])
     x0 = jax.random.normal(key, (b, p, d), jnp.bfloat16)
 
     # PRODUCTION patches, not random bf16: the bench path emits f32 from

@@ -46,11 +46,11 @@ def test_checkpoint_roundtrip_quantized(tmp_path):
     save_checkpoint(tmp_path / "q8", params, {"family": "vl", "quantize": "int8",
                                               "hf_config": {}})
     restored, _ = load_checkpoint(tmp_path / "q8")
-    leaf = restored["text"]["layers"][0]["attn"]["q"]
+    leaf = restored["text"]["layers"]["attn"]["q"]
     assert leaf["w_q"].dtype == jnp.int8
     np.testing.assert_array_equal(
         np.asarray(leaf["w_q"]),
-        np.asarray(params["text"]["layers"][0]["attn"]["q"]["w_q"]))
+        np.asarray(params["text"]["layers"]["attn"]["q"]["w_q"]))
 
 
 def test_convert_checkpoint_cli_end_to_end(tmp_path):
@@ -86,5 +86,5 @@ def test_convert_checkpoint_cli_end_to_end(tmp_path):
     from handwritten_ocr_tpu.models.checkpoint import load_checkpoint
     params, meta = load_checkpoint(dst)
     assert meta["family"] == "qwen3" and meta["quantize"] == "int8"
-    assert params["layers"][0]["attn"]["q"]["w_q"].dtype == jnp.int8
+    assert params["layers"]["attn"]["q"]["w_q"].dtype == jnp.int8
     assert (dst / "config.json").exists()  # self-contained dir

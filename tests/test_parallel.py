@@ -53,16 +53,17 @@ def test_param_sharding_specs():
     shardings = param_shardings(mesh, params)
 
     text = shardings["text"]
-    assert text["layers"][0]["attn"]["q"]["w"].spec == P(None, "model")
-    assert text["layers"][0]["attn"]["o"]["w"].spec == P("model", None)
-    assert text["layers"][0]["mlp"]["gate"]["w"].spec == P(None, "model")
-    assert text["layers"][0]["mlp"]["down"]["w"].spec == P("model", None)
+    # Layer-stacked leaves carry a leading replicated [L] dim.
+    assert text["layers"]["attn"]["q"]["w"].spec == P(None, None, "model")
+    assert text["layers"]["attn"]["o"]["w"].spec == P(None, "model", None)
+    assert text["layers"]["mlp"]["gate"]["w"].spec == P(None, None, "model")
+    assert text["layers"]["mlp"]["down"]["w"].spec == P(None, "model", None)
     assert text["embed"]["w"].spec == P("model", None)
     assert text["lm_head"]["w"].spec == P(None, "model")
     assert text["final_norm"]["scale"].spec == P(None)
     vis = shardings["vision"]
-    assert vis["blocks"][0]["attn"]["qkv"]["w"].spec == P(None, "model")
-    assert vis["blocks"][0]["attn"]["proj"]["w"].spec == P("model", None)
+    assert vis["blocks"]["attn"]["qkv"]["w"].spec == P(None, None, "model")
+    assert vis["blocks"]["attn"]["proj"]["w"].spec == P(None, "model", None)
 
 
 def test_fsdp_adds_data_axis():
@@ -70,7 +71,7 @@ def test_fsdp_adds_data_axis():
     params = init_vl(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
     mesh = make_mesh(8, model_parallel=4)
     shardings = param_shardings(mesh, params, fsdp=True)
-    spec = shardings["text"]["layers"][0]["attn"]["q"]["w"].spec
+    spec = shardings["text"]["layers"]["attn"]["q"]["w"].spec
     assert "model" in spec and "data" in spec
 
 

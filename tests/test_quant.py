@@ -33,9 +33,9 @@ def test_quantize_tree_structure_and_size():
     before = quantized_bytes(params)
     quant = quantize_tree(params)
     after = quantized_bytes(quant)
-    layer = quant["text"]["layers"][0]
+    layer = quant["text"]["layers"]          # layer-stacked leaves
     assert layer["attn"]["q"]["w_q"].dtype == jnp.int8
-    assert layer["attn"]["q"]["w_scale"].shape == (64,)
+    assert layer["attn"]["q"]["w_scale"].shape[1:] == (64,)
     assert "w" not in layer["attn"]["q"]
     assert layer["attn"]["q"]["b"].dtype == jnp.float32   # bias kept
     # lm_head quantized (largest per-step weight read); embed / norms not.
@@ -45,7 +45,7 @@ def test_quantize_tree_structure_and_size():
     # Opt-out keeps the head in full precision (pre-round-2 policy).
     kept = quantize_tree(params, lm_head=False)
     assert kept["text"]["lm_head"]["w"].dtype == jnp.float32
-    assert kept["text"]["layers"][0]["attn"]["q"]["w_q"].dtype == jnp.int8
+    assert kept["text"]["layers"]["attn"]["q"]["w_q"].dtype == jnp.int8
 
 
 def test_quantized_linear_error_bound():
@@ -117,11 +117,11 @@ def test_quantized_sharding_specs():
                                    dtype=jnp.float32))
     mesh = make_mesh(8, model_parallel=4)
     shardings = param_shardings(mesh, params)
-    attn = shardings["text"]["layers"][0]["attn"]
-    assert attn["q"]["w_q"].spec == P(None, "model")
-    assert attn["q"]["w_scale"].spec == P("model")
-    assert attn["o"]["w_q"].spec == P("model", None)
-    assert attn["o"]["w_scale"].spec == P(None)
+    attn = shardings["text"]["layers"]["attn"]
+    assert attn["q"]["w_q"].spec == P(None, None, "model")
+    assert attn["q"]["w_scale"].spec == P(None, "model")
+    assert attn["o"]["w_q"].spec == P(None, "model", None)
+    assert attn["o"]["w_scale"].spec == P(None, None)
 
 
 def test_int8_matmul_kernel_parity_interpret():
