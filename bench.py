@@ -848,8 +848,13 @@ def main() -> None:
         estimate = PHASE_ESTIMATES_S[name]
         prior = detail_store.get(
             {"spec": "speculation_trained"}.get(name, name))
-        if isinstance(prior, dict) and prior.get("_wall_s"):
-            estimate = max(estimate, float(prior["_wall_s"]))
+        if isinstance(prior, dict):
+            # Gate on the BEST (warm) wall seen, not the last: one cold
+            # run would otherwise inflate the estimate forever and the
+            # phase would never re-run inside a driver window.
+            best = prior.get("_wall_best_s") or prior.get("_wall_s")
+            if best:
+                estimate = max(estimate, float(best))
         if remaining() < estimate * 1.3 + 20:
             phase_status[name] = {
                 "status": f"skipped: {remaining():.0f}s left < "
@@ -860,11 +865,16 @@ def main() -> None:
         phase_status[name] = {"status": status, "wall_s": round(wall, 1)}
         if result is not None:
             key = {"spec": "speculation_trained"}.get(name, name)
+            best = None
+            if isinstance(prior, dict):
+                best = prior.get("_wall_best_s") or prior.get("_wall_s")
             detail_store[key] = {
                 **result[key], "_source": "live",
                 "_backend": result.get("backend"),
                 "_measured_at": time.strftime("%Y-%m-%d"),
-                "_wall_s": round(wall, 1)}
+                "_wall_s": round(wall, 1),
+                "_wall_best_s": round(min(wall, float(best))
+                                      if best else wall, 1)}
             if name == "reasoning" and first["backend"] == "tpu":
                 detail_store["flagship_projection"] = {
                     **flagship_projection(read, detail_store["reasoning"],

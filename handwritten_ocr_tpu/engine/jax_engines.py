@@ -38,8 +38,17 @@ QWEN3_DIR_ENV = "HOCR_QWEN3_DIR"
 
 
 def _spec_enabled() -> bool:
-    """Prompt-lookup speculative decoding toggle (HOCR_SPEC=0 disables)."""
-    return os.environ.get("HOCR_SPEC", "1") not in ("0", "off", "false")
+    """Prompt-lookup speculative decoding toggle (HOCR_SPEC=1 enables).
+
+    Default OFF (round-5 decision): every LIVE measurement of the net
+    effect on this stack is <= 1.03x — trained-tiny copy workload 0.72x
+    at 53.6% acceptance (BENCH_DETAIL speculation_trained), 8B-class
+    teacher-forced curve 0.996-1.03x across 0-19% acceptance
+    (spec_scale_ab.json) — because verify rounds pay a full weight read
+    while non-drafting slots advance one token. The machinery stays
+    (greedy-invariant, bit-tested); enable for genuinely copy-heavy
+    serving mixes where drafting slots dominate the batch."""
+    return os.environ.get("HOCR_SPEC", "0") not in ("0", "off", "false")
 
 
 def _kv_quant() -> bool:
