@@ -51,6 +51,16 @@ _HEAVY_TESTS = {
     "test_train_step_runs_and_improves",  # multi-step VL train loop
     "test_slot_and_block_reuse",          # long continuous-batch schedule
     "test_sharded_ocr_backend_matches_unsharded",  # 8-dev VL A/B
+    # ~50 s: full train step differentiated through BOTH Pallas custom
+    # VJPs; the same surface runs on-chip in the spec-train gauntlet
+    # (tests/test_tpu_kernels.py) and in scripts/trained_fidelity_ab.py.
+    "test_train_step_through_pallas_kernels",
+    # ~20 s: subprocess HF-snapshot -> native-checkpoint -> load e2e;
+    # the in-process converter + checkpoint roundtrips stay default.
+    "test_convert_checkpoint_cli_end_to_end",
+    # ~17 s: the t=1 interpret-mode int8-KV cell; the t=5 variant is a
+    # superset (append + attend over multiple positions) and stays.
+    "test_quantized_kv[1-start0-n_valid0]",
 }
 
 _SLOW_MODULES = {

@@ -121,12 +121,31 @@ def _wide_cols(d_in: int, d_out: int) -> int:
     return d_out
 
 
+# Below this f32 staging size, generate a stacked/wide weight in one
+# eager op — the jitted lax.map generators exist to bound staging for
+# multi-GB 7B leaves, and their compiles would tax every tiny-config
+# test (the CPU suite inits hundreds of tiny models).
+_DIRECT_BYTES = 256e6
+
+
+def _quantize_or_cast(w, quantize, dtype):
+    if quantize:
+        from handwritten_ocr_tpu.models.quant import _quantize_linear
+        return _quantize_linear({"w": w})
+    return {"w": w.astype(dtype)}
+
+
 def _linear_stack(key, n, d_in, d_out, dtype, bias=False, scale=0.02,
                   quant_ok=True):
     """Layer-stacked linear init ``{w|w_q+w_scale} [n, d_in, d_out]``."""
     quantize = _QUANTIZE and quant_ok
-    w, s = _gen_stacked(key, n, d_in, d_out, quantize, jnp.dtype(dtype).name)
-    params = ({"w_q": w, "w_scale": s} if quantize else {"w": w})
+    if n * d_in * d_out * 4 <= _DIRECT_BYTES:
+        w = jax.random.normal(key, (n, d_in, d_out), jnp.float32) * scale
+        params = _quantize_or_cast(w, quantize, dtype)
+    else:
+        w, s = _gen_stacked(key, n, d_in, d_out, quantize,
+                            jnp.dtype(dtype).name)
+        params = ({"w_q": w, "w_scale": s} if quantize else {"w": w})
     if bias:
         params["b"] = jnp.zeros((n, d_out), dtype)
     return params
@@ -135,6 +154,9 @@ def _linear_stack(key, n, d_in, d_out, dtype, bias=False, scale=0.02,
 def _linear_wide(key, d_in, d_out, dtype, quant_ok=True):
     """One wide 2D linear (lm_head / embed scale) with bounded staging."""
     quantize = _QUANTIZE and quant_ok
+    if d_in * d_out * 4 <= _DIRECT_BYTES:
+        w = jax.random.normal(key, (d_in, d_out), jnp.float32) * 0.02
+        return _quantize_or_cast(w, quantize, dtype)
     cols = _wide_cols(d_in, d_out)
     w, s = _gen_wide(key, d_in, d_out, cols, quantize, jnp.dtype(dtype).name)
     return ({"w_q": w, "w_scale": s} if quantize else {"w": w})
@@ -225,11 +247,15 @@ def init_text(key, cfg, dtype=jnp.bfloat16, qk_norm: bool = False,
     # Embed and lm_head are the two biggest single tensors (2.2 GB f32
     # staging each at 7B) — generate both with bounded staging.
     vocab, hidden = cfg.vocab_size, cfg.hidden_size
-    rows = _wide_cols(hidden, vocab)
-    emb, _ = _gen_stacked(keys[-1], vocab // rows, rows, hidden, False,
-                          jnp.dtype(dtype).name)
+    if vocab * hidden * 4 <= _DIRECT_BYTES:
+        emb = (jax.random.normal(keys[-1], (vocab, hidden), jnp.float32)
+               * 0.02).astype(dtype)
+    else:
+        rows = _wide_cols(hidden, vocab)
+        emb = _gen_stacked(keys[-1], vocab // rows, rows, hidden, False,
+                           jnp.dtype(dtype).name)[0].reshape(vocab, hidden)
     tree = {
-        "embed": {"w": emb.reshape(vocab, hidden)},
+        "embed": {"w": emb},
         "layers": layers,
         "final_norm": _norm(cfg.hidden_size, dtype),
     }
