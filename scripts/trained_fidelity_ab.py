@@ -523,6 +523,45 @@ def run_lm_phase(report: dict, *, smoke: bool | None = None) -> None:
         "token_agreement_spec_vs_plain": round(agree_spec, 4),
         "token_agreement_int8_vs_bf16_weights": round(agree_w, 4),
     }
+
+    # Guided (schema-constrained) surface with the SAME trained weights:
+    # the production agent path drafts only inside string value spans
+    # (serving.string_verify_round); scaffold tokens are forced, so the
+    # copy skill drives the span. Round-4 verdict #3 asked for this cell
+    # — the random-weight guided A/B accepted 0/144 because drafts never
+    # matched; trained weights measure the real in-span acceptance.
+    schema = {"type": "object",
+              "properties": {"text": {"type": "string"}},
+              "required": ["text"]}
+
+    def run_guided(speculate):
+        program = PagedProgram(params_int8, cfg, eos_token_id=-1)
+        batcher = ContinuousBatcher(program, n_slots=n_req, block_size=128,
+                                    max_context=max_ctx + 32, chunk=8,
+                                    dtype=dtype, kv_quant=not smoke)
+        reqs = [GenRequest(p, budget + 8, speculate=speculate)
+                for p in prompts]
+        t0 = time.perf_counter()
+        out = batcher.run_guided(reqs, schema, tok)
+        return out, time.perf_counter() - t0, dict(batcher.spec_stats)
+
+    run_guided(True)                          # compile + warm
+    out_gs, gs_s, g_stats = run_guided(True)
+    out_gp, gp_s, _ = run_guided(False)
+    objects_equal = sum((a or {}) == (b or {})
+                        for (a, _), (b, _) in zip(out_gs, out_gp))
+    report["speculation_trained"]["guided_trained"] = {
+        "what": "schema-constrained agent surface (run_guided, forced "
+                "scaffold + free string spans), trained copy model: "
+                "in-span prompt-lookup speculation vs plain guided",
+        "requests": n_req,
+        "complete": sum(c for _, c in out_gs),
+        "spec_stats": g_stats,
+        "acceptance_rate": round(
+            g_stats["accepted"] / max(g_stats["drafted"], 1), 3),
+        "net_speedup": round(gp_s / gs_s, 2),
+        "objects_equal_spec_vs_plain": objects_equal,
+    }
     print(json.dumps(report["speculation_trained"], indent=2), flush=True)
 
 

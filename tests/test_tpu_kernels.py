@@ -33,6 +33,26 @@ def _require_tpu():
                     "on a TPU host)")
 
 
+@pytest.fixture(autouse=True)
+def _drain_tpu_queue():
+    """Free the previous test's model between tests. Two leaks stack:
+    (1) jit-of-method caches key on the STATIC ``self`` (VLModel /
+    PagedProgram), which holds the multi-GB param tree — the global jit
+    cache keeps it alive forever, so two whole-model gauntlets cannot
+    share a process without clearing; (2) jax.block_until_ready does
+    not synchronize on the axon tunnel, so frees ride the queue until
+    a real d2h fetch drains it."""
+    yield
+    import gc
+
+    import jax
+    import jax.numpy as jnp
+    if jax.default_backend() == "tpu":
+        jax.clear_caches()
+        gc.collect()
+        np.asarray(jnp.zeros((1,)))
+
+
 @pytest.mark.parametrize("t", [1, 9])
 def test_paged_kernel_numeric_bound(t):
     """Fused append+attention kernel vs an fp32 gather+softmax reference:
@@ -66,13 +86,64 @@ def test_paged_kernel_vs_gather_decode(dtype_name):
 
 
 def test_int8_kv_serving_on_chip():
-    """int8-KV continuous batching on the production block size (128):
-    the quantize-on-append / dequantize-in-score-space kernel path
-    compiles, runs, and matches the fp-KV run's tokens closely."""
+    """int8-KV on the production block size (128), DETERMINISTIC: the
+    quantize-on-append / dequantize-in-score-space kernel's attention
+    output must sit inside the int8 error bound of the fp-KV kernel on
+    IDENTICAL cache content. (The old token-agreement form compared two
+    greedy decodes of a random-weight model — near-tie flips made it an
+    RNG lottery.) A serving smoke run still proves the batcher path
+    compiles and completes with kv_quant on."""
     _require_tpu()
     import jax
     import jax.numpy as jnp
 
+    from handwritten_ocr_tpu.ops.paged_decode_attention import (
+        paged_append_attention)
+
+    rng = np.random.default_rng(7)
+    s, t, hq, hkv, d = 4, 9, 8, 4, 128
+    n_layers, n_blocks, bs, width = 2, 12, 128, 3
+    layer = 1
+    q = jnp.asarray(rng.standard_normal((s, t, hq, d)) * 0.5, jnp.bfloat16)
+    k_new = jnp.asarray(rng.standard_normal((s, t, hkv, d)), jnp.bfloat16)
+    v_new = jnp.asarray(rng.standard_normal((s, t, hkv, d)), jnp.bfloat16)
+    tables = jnp.asarray(
+        rng.permutation(np.arange(1, 1 + s * width)).reshape(s, width),
+        jnp.int32)
+    start = jnp.asarray([17, 120, 0, 64], jnp.int32)
+    n_valid = jnp.asarray([t, t, t, 0], jnp.int32)
+
+    history = rng.standard_normal(
+        (n_layers, n_blocks, bs, hkv, d)).astype(np.float32)
+    k_pool = jnp.asarray(history, jnp.bfloat16)
+    v_pool = jnp.asarray(history[::-1], jnp.bfloat16)
+
+    def quantize_pool(pool):
+        f = np.asarray(pool, np.float32)
+        scales = np.maximum(np.abs(f).max(axis=-1), 1e-6) / 127.0
+        q8 = np.round(f / scales[..., None]).astype(np.int8)
+        # data [L, N, BS, H, D]; scale pool layout [L, N, H, BS]
+        return jnp.asarray(q8), jnp.asarray(
+            scales.transpose(0, 1, 3, 2), jnp.float32)
+
+    kq_pool, ks_pool = quantize_pool(k_pool)
+    vq_pool, vs_pool = quantize_pool(v_pool)
+
+    out_fp, *_ = paged_append_attention(
+        q, k_new, v_new, k_pool, v_pool, tables, start, n_valid,
+        layer=layer, scale=d ** -0.5)
+    out_q, *_ = paged_append_attention(
+        q, k_new, v_new, kq_pool, vq_pool, tables, start, n_valid,
+        ks_pool, vs_pool, layer=layer, scale=d ** -0.5)
+
+    fp = np.asarray(out_fp, np.float32)
+    qv = np.asarray(out_q, np.float32)
+    live = np.asarray(n_valid) > 0
+    err = np.abs(fp - qv)[live].max()
+    assert float(err) < 0.06, f"int8-KV output error {err}"
+    assert float(np.abs(fp[live]).max()) > 0.05   # outputs are non-trivial
+
+    # Serving smoke: the full batcher path with kv_quant compiles + runs.
     from handwritten_ocr_tpu.engine.serving import (
         ContinuousBatcher, GenRequest, PagedProgram)
     from handwritten_ocr_tpu.models.init import init_qwen3
@@ -83,25 +154,14 @@ def test_int8_kv_serving_on_chip():
                       num_attention_heads=8, num_key_value_heads=4,
                       head_dim=128, eos_token_id=0, pad_token_id=0)
     params = init_qwen3(jax.random.PRNGKey(21), cfg, dtype=jnp.bfloat16)
-    program = PagedProgram(params, cfg)
-    rng = np.random.default_rng(5)
-    prompts = [rng.integers(1, 2000, size=n).tolist()
-               for n in (6, 17, 29, 11)]
-    requests = lambda: [GenRequest(np.asarray(p, np.int32), 24)
-                        for p in prompts]
-
-    outs = {}
-    for kv_quant in (False, True):
-        batcher = ContinuousBatcher(program, n_slots=4, block_size=128,
-                                    max_context=256, chunk=8,
-                                    prefill_bucket=32, dtype=jnp.bfloat16,
-                                    kv_quant=kv_quant)
-        outs[kv_quant] = batcher.run(requests())
-    agrees = [sum(x == y for x, y in zip(a, b)) / max(len(a), len(b), 1)
-              for a, b in zip(outs[False], outs[True])]
-    # int8 KV carries a ~1% attention-error bound; random-weight near-tie
-    # logits may flip occasionally but sequences must stay close.
-    assert float(np.mean(agrees)) >= 0.7, agrees
+    batcher = ContinuousBatcher(PagedProgram(params, cfg), n_slots=4,
+                                block_size=128, max_context=256, chunk=8,
+                                prefill_bucket=32, dtype=jnp.bfloat16,
+                                kv_quant=True)
+    out = batcher.run([GenRequest(np.asarray(
+        np.random.default_rng(5).integers(1, 2000, size=n), np.int32), 24)
+        for n in (6, 17, 29, 11)])
+    assert all(len(tokens) == 24 for tokens in out)
 
 
 @pytest.mark.parametrize("packed", [True, False])
