@@ -47,8 +47,9 @@ def _spec_enabled() -> bool:
     (spec_scale_ab.json) — because verify rounds pay a full weight read
     while non-drafting slots advance one token. The machinery stays
     (greedy-invariant, bit-tested); enable for genuinely copy-heavy
-    serving mixes where drafting slots dominate the batch."""
-    return os.environ.get("HOCR_SPEC", "0") not in ("0", "off", "false")
+    serving mixes where drafting slots dominate the batch. Explicit
+    allowlist so a set-but-empty HOCR_SPEC stays off."""
+    return os.environ.get("HOCR_SPEC", "0") in ("1", "on", "true")
 
 
 def _kv_quant() -> bool:

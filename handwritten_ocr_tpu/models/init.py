@@ -25,8 +25,18 @@ def stack_layers(layers: list) -> dict:
     of ``[L, ...]`` arrays — the layout ``lax.scan`` consumes (one traced
     layer body instead of an L-times unrolled graph). int8 per-column
     scales stack to ``[L, out]``; per-layer slices are identical to the
-    unstacked tree, so numerics are unchanged."""
-    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *layers)
+    unstacked tree, so numerics are unchanged.
+
+    Host numpy leaves (the checkpoint converter's path) stack ON HOST
+    and transfer once — stacking them on device would briefly hold both
+    the per-layer copies and the stacked copy in HBM (~2x the text
+    tree), which is exactly the transient a 7B load cannot afford."""
+    def _stack(*xs):
+        if all(isinstance(x, np.ndarray) for x in xs):
+            return jnp.asarray(np.stack(xs))
+        return jnp.stack(xs)
+
+    return jax.tree_util.tree_map(_stack, *layers)
 
 
 def unstack_layers(stacked: dict) -> list:
@@ -65,8 +75,9 @@ def _sync(x) -> None:
         jax.tree_util.tree_leaves(x)[0].reshape(-1)[:1]))
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5))
-def _gen_stacked(key, n, d_in, d_out, quantize: bool, dtype_name: str):
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5, 6))
+def _gen_stacked(key, n, d_in, d_out, quantize: bool, dtype_name: str,
+                 scale: float = 0.02):
     """Generate a layer-stacked linear weight ``[n, d_in, d_out]`` with
     the f32 staging BOUNDED: a lax.map over layers generates + casts (or
     quantizes, per-column absmax exactly like quant._quantize_linear)
@@ -76,7 +87,7 @@ def _gen_stacked(key, n, d_in, d_out, quantize: bool, dtype_name: str):
     keys = jax.random.split(key, n)
 
     def gen_one(k):
-        w = jax.random.normal(k, (d_in, d_out), jnp.float32) * 0.02
+        w = jax.random.normal(k, (d_in, d_out), jnp.float32) * scale
         if quantize:
             absmax = jnp.max(jnp.abs(w), axis=0, keepdims=True)
             s = jnp.maximum(absmax, 1e-8) / 127.0
@@ -87,8 +98,9 @@ def _gen_stacked(key, n, d_in, d_out, quantize: bool, dtype_name: str):
     return jax.lax.map(gen_one, keys)
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5))
-def _gen_wide(key, d_in, d_out, cols, quantize: bool, dtype_name: str):
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5, 6))
+def _gen_wide(key, d_in, d_out, cols, quantize: bool, dtype_name: str,
+              scale: float = 0.02):
     """Generate one wide 2D weight ``[d_in, d_out]`` in column chunks
     of ``cols`` via lax.map (bounded staging — the 7B lm_head is 2.2 GB
     in f32). Column chunking keeps per-column quantization scales exact.
@@ -97,7 +109,7 @@ def _gen_wide(key, d_in, d_out, cols, quantize: bool, dtype_name: str):
     keys = jax.random.split(key, n_chunks)
 
     def gen_one(k):
-        w = jax.random.normal(k, (d_in, cols), jnp.float32) * 0.02
+        w = jax.random.normal(k, (d_in, cols), jnp.float32) * scale
         if quantize:
             absmax = jnp.max(jnp.abs(w), axis=0, keepdims=True)
             s = jnp.maximum(absmax, 1e-8) / 127.0
@@ -144,7 +156,7 @@ def _linear_stack(key, n, d_in, d_out, dtype, bias=False, scale=0.02,
         params = _quantize_or_cast(w, quantize, dtype)
     else:
         w, s = _gen_stacked(key, n, d_in, d_out, quantize,
-                            jnp.dtype(dtype).name)
+                            jnp.dtype(dtype).name, scale)
         params = ({"w_q": w, "w_scale": s} if quantize else {"w": w})
     if bias:
         params["b"] = jnp.zeros((n, d_out), dtype)

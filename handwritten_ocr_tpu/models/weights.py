@@ -15,6 +15,7 @@ from __future__ import annotations
 from pathlib import Path
 from typing import Mapping
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -76,14 +77,20 @@ class _Namer:
 
 
 def _linear(namer: _Namer, name: str, dtype) -> dict:
-    params = {"w": jnp.asarray(namer.get(f"{name}.weight").T, dtype)}
+    # Host-side numpy leaves: stack_layers np.stacks per-layer lists on
+    # host and ships ONE stacked leaf to device, so the per-layer copies
+    # never hold HBM (the jnp-leaf path kept a ~2x text-tree transient
+    # on the conversion device — round-4 advisor finding). The final
+    # tree_map(jnp.asarray) in the converters places everything.
+    np_dtype = np.dtype(dtype)
+    params = {"w": namer.get(f"{name}.weight").T.astype(np_dtype)}
     if namer.has(f"{name}.bias"):
-        params["b"] = jnp.asarray(namer.get(f"{name}.bias"), dtype)
+        params["b"] = namer.get(f"{name}.bias").astype(np_dtype)
     return params
 
 
 def _norm(namer: _Namer, name: str, dtype) -> dict:
-    return {"scale": jnp.asarray(namer.get(f"{name}.weight"), dtype)}
+    return {"scale": namer.get(f"{name}.weight").astype(np.dtype(dtype))}
 
 
 def _mlp(namer: _Namer, base: str, dtype) -> dict:
@@ -128,7 +135,9 @@ def convert_vl(source, vl_config, dtype=jnp.bfloat16) -> dict:
     if not vl_config.text.tie_word_embeddings:
         head = _Namer(flat, ["", "model."])
         text["lm_head"] = _linear(head, "lm_head", dtype)
-    return {"vision": vision, "text": text}
+    # Single host→device transfer per leaf (no-op on already-jnp leaves).
+    return jax.tree_util.tree_map(jnp.asarray,
+                                  {"vision": vision, "text": text})
 
 
 def convert_qwen3(source, config, dtype=jnp.bfloat16) -> dict:
@@ -139,7 +148,7 @@ def convert_qwen3(source, config, dtype=jnp.bfloat16) -> dict:
     if not config.tie_word_embeddings:
         head = _Namer(flat, ["", "model."])
         text["lm_head"] = _linear(head, "lm_head", dtype)
-    return text
+    return jax.tree_util.tree_map(jnp.asarray, text)
 
 
 def _text_tree(txt: _Namer, num_layers: int, dtype, qk_norm: bool) -> dict:
@@ -162,7 +171,7 @@ def _text_tree(txt: _Namer, num_layers: int, dtype, qk_norm: bool) -> dict:
             "mlp": _mlp(txt, f"{base}.mlp", dtype),
         })
     return {
-        "embed": {"w": jnp.asarray(txt.get("embed_tokens.weight"), dtype)},
+        "embed": {"w": txt.get("embed_tokens.weight").astype(np.dtype(dtype))},
         "layers": stack_layers(layers),
         "final_norm": _norm(txt, "norm", dtype),
     }

@@ -50,7 +50,11 @@ SMOKE = os.environ.get("HOCR_AB_SCALE") == "tiny"
 REPORT = Path(__file__).parent.parent / (
     "serving_invariance_ab_tiny.json" if SMOKE
     else "serving_invariance_ab.json")
-MAX_STEPS = int(os.environ.get("HOCR_TRAIN_STEPS", "120" if SMOKE else "3000"))
+def _max_steps() -> int:
+    """Train-step cap, read at CALL time: the TPU gauntlet sets
+    HOCR_TRAIN_STEPS=2 mid-process, so an import-time read would be
+    order-dependent (round-4 advisor finding)."""
+    return int(os.environ.get("HOCR_TRAIN_STEPS", "120" if SMOKE else "3000"))
 
 
 # ── deterministic page rendering (known ground truth) ─────────────────
@@ -257,16 +261,17 @@ def run_vl_phase(report: dict) -> None:
     peak_lr = float(os.environ.get("HOCR_TRAIN_LR", "1e-3"))
     # Cosine decay anneals past the permutation plateau (constant 1e-3
     # oscillated at loss ~0.02 = two misidentified first tokens).
+    max_steps = _max_steps()
     schedule = optax.warmup_cosine_decay_schedule(
-        0.0, peak_lr, warmup_steps=min(100, max(1, MAX_STEPS // 4)),
-        decay_steps=MAX_STEPS, end_value=peak_lr / 20)
+        0.0, peak_lr, warmup_steps=min(100, max(1, max_steps // 4)),
+        decay_steps=max_steps, end_value=peak_lr / 20)
     init_opt, train_step = make_train_step(cfg, grid, optax.adamw(schedule))
     opt_state = init_opt(params)
     t0 = time.perf_counter()
     loss = float("nan")
-    for step in range(MAX_STEPS):
+    for step in range(max_steps):
         params, opt_state, loss = train_step(params, opt_state, batch)
-        if step % 200 == 0 or step == MAX_STEPS - 1:
+        if step % 200 == 0 or step == max_steps - 1:
             loss = float(loss)
             print(f"[vl-train] step {step} loss {loss:.4f}", flush=True)
             if loss < 0.002:   # every first token nailed, margins wide
@@ -350,7 +355,7 @@ def run_vl_phase(report: dict) -> None:
                 "greedy bf16 weights vs int8 weights (quantize_tree), "
                 "plus the shipped paged/int8-KV path vs dense",
         "pages": n_pages,
-        "train_steps": MAX_STEPS, "final_loss": round(final_loss, 4),
+        "train_steps": max_steps, "final_loss": round(final_loss, 4),
         "greedy_margin_min": round(float(margins.min()), 4),
         "greedy_margin_median": round(float(np.median(margins)), 4),
         "tiling_noise_max_abs_logit": round(noise, 5),
@@ -453,7 +458,7 @@ def run_lm_phase(report: dict, *, smoke: bool | None = None) -> None:
     tok = SmallTok()
     cfg = small_qwen3_config()
     length = 48 if smoke else 224
-    steps = min(MAX_STEPS, 120 if smoke else 1500)
+    steps = min(_max_steps(), 120 if smoke else 1500)
     params, final_loss = train_lm_copy(cfg, steps, length=length,
                                        batch=4 if smoke else 8, tok=tok)
     params_bf16 = cast_bf16(params)
