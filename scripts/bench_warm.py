@@ -36,9 +36,31 @@ from pathlib import Path
 REPO = Path(__file__).parent.parent
 
 
-def run_bench(budget_s: float, label: str) -> tuple[int, float, dict | None]:
+def run_bench(budget_s: float, label: str, *, driver_mode: bool = False,
+              window_s: float = 600.0) -> tuple[int, float, dict | None]:
+    """Run bench.py; with ``driver_mode`` replicate the DRIVER's exact
+    observation: combined stdout+stderr under a hard ``timeout`` window,
+    then parse the LAST non-empty line as JSON (round-4 failed precisely
+    this parse — rc=0 with the headline mid-stream, chatter last)."""
     env = dict(os.environ, HOCR_BENCH_BUDGET=str(budget_s))
     start = time.monotonic()
+    if driver_mode:
+        proc = subprocess.run(
+            ["timeout", str(int(window_s)), sys.executable,
+             str(REPO / "bench.py")],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        wall = time.monotonic() - start
+        lines = [l for l in proc.stdout.decode().splitlines() if l.strip()]
+        parsed = None
+        if lines:
+            try:
+                parsed = json.loads(lines[-1])
+            except json.JSONDecodeError:
+                pass
+        print(f"[bench_warm] {label}: rc={proc.returncode} wall={wall:.0f}s "
+              f"last-line-parse={'ok' if parsed else 'FAILED'} "
+              f"value={parsed and parsed.get('value')}", flush=True)
+        return proc.returncode, wall, parsed
     proc = subprocess.run([sys.executable, str(REPO / "bench.py")],
                           env=env, stdout=subprocess.PIPE)
     wall = time.monotonic() - start
@@ -75,12 +97,14 @@ def main() -> None:
     if args.check:
         rc, check_wall, parsed = run_bench(
             float(os.environ.get("HOCR_BENCH_BUDGET", "520")),
-            "driver-window check")
-        if rc != 0 or not parsed or parsed.get("value") is None:
+            "driver-window check", driver_mode=True)
+        if rc != 0 or not parsed or parsed.get("value") is None \
+                or parsed.get("metric") != "ocr_pages_per_sec_per_chip":
             raise SystemExit(
                 f"driver-window check FAILED: rc={rc} parsed={parsed}")
         print(f"[bench_warm] OK: warm driver-window bench fits "
-              f"({check_wall:.0f}s) and the headline is live")
+              f"({check_wall:.0f}s), combined-stream LAST line parses, "
+              f"headline value={parsed['value']}")
 
 
 if __name__ == "__main__":
