@@ -679,7 +679,11 @@ def run_phase(phase: str, out_path: str) -> None:
         out["pipeline"].update(pipeline_latency_bench(
             model, cfg, synthetic_pages(4), ByteTokenizer()))
     elif phase == "reasoning":
-        out["reasoning"] = reasoning_bench()
+        # HOCR_REASONING_BUDGET: the on-chip compile gauntlet passes a
+        # tiny decode budget — identical programs, seconds of runtime.
+        override = os.environ.get("HOCR_REASONING_BUDGET")
+        out["reasoning"] = reasoning_bench(
+            budget=int(override) if override else None)
     elif phase == "spec":
         out["speculation_trained"] = speculation_trained_bench()
     else:
