@@ -58,6 +58,9 @@ _HEAVY_TESTS = {
     # ~20 s: subprocess HF-snapshot -> native-checkpoint -> load e2e;
     # the in-process converter + checkpoint roundtrips stay default.
     "test_convert_checkpoint_cli_end_to_end",
+    # ~60 s: 2-process x 4-CPU-device jax.distributed dryrun (Gloo
+    # collectives); the fast tests in the module cover the env contract.
+    "test_two_process_sharded_read_matches_single",
     # ~17 s: the t=1 interpret-mode int8-KV cell; the t=5 variant is a
     # superset (append + attend over multiple positions) and stays.
     "test_quantized_kv[1-start0-n_valid0]",

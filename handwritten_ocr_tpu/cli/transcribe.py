@@ -195,6 +195,14 @@ def main(argv: list[str] | None = None, pipeline=None) -> None:
     args = build_arg_parser().parse_args(argv)
     input_path: Path = args.input.resolve()
 
+    # Multi-host batch runs (SURVEY.md §5.8): when HOCR_DIST_* describes
+    # a process group, join it before any backend initializes — local
+    # chips enter the global device set, sharded engines span hosts via
+    # ICI/DCN collectives, and the batch loop below round-robins pages
+    # across processes. Solo runs: no-op.
+    from handwritten_ocr_tpu.parallel.distributed import initialize_from_env
+    initialize_from_env()
+
     if not input_path.exists():
         print(f"Error: {input_path} does not exist", file=sys.stderr)
         sys.exit(1)
@@ -254,6 +262,19 @@ def _run(args, input_path: Path, output_dir: Path, pipeline) -> None:
                if not (args.skip_existing
                        and (output_dir / f"{p.stem}_transcription.txt").exists())]
 
+    # Page-level data parallelism across processes: rank r takes every
+    # Nth page (deterministic, no coordination needed — per-page output
+    # files give idempotent completion, ref transcribe.py:194-210's
+    # sequential loop sharded the TPU way). Guarded on the env so solo
+    # runs never touch the JAX backend from the CLI layer.
+    from handwritten_ocr_tpu.parallel.distributed import distributed_env
+    if distributed_env() is not None:
+        import jax
+        if jax.process_count() > 1:
+            rank, world = jax.process_index(), jax.process_count()
+            pending = pending[rank::world]
+            print(f"[dist] process {rank}/{world}: {len(pending)} pages")
+
     if args.lockstep and len(pending) > 1:
         _run_lockstep(args, pending, output_dir, pipeline)
         print(f"\nAll done. Results saved to {output_dir}")
@@ -270,9 +291,13 @@ def _run(args, input_path: Path, output_dir: Path, pipeline) -> None:
             cfg_mod.PREPROCESSING_STRATEGIES, cfg_mod.OCR_PROMPT,
             cfg_mod.OCR_MAX_NEW_TOKENS)
 
+    owned = set(pending)
     for img_path in images:
-        if img_path not in pending:
-            print(f"Skipping {img_path.name} (transcription exists)")
+        if img_path not in owned:
+            if (args.skip_existing
+                    and (output_dir / f"{img_path.stem}_transcription.txt")
+                    .exists()):
+                print(f"Skipping {img_path.name} (transcription exists)")
             continue
         transcribe_single(
             image_path=img_path,
