@@ -39,16 +39,6 @@ def _kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, *, n_in_blocks: int):
         o_ref[0] = (acc_ref[:] * s_ref[:]).astype(o_ref.dtype)
 
 
-def _fit_block(dim: int, preferred: int) -> int | None:
-    """Largest 128-multiple ≤ preferred that divides ``dim`` (None if none)."""
-    candidate = (min(preferred, dim) // 128) * 128
-    while candidate >= 128:
-        if dim % candidate == 0:
-            return candidate
-        candidate -= 128
-    return None
-
-
 def int8_matmul_supported(d_in: int, d_out: int) -> bool:
     """Whether the kernel path is worthwhile (padding handles alignment)."""
     return d_in >= 128 and d_out >= 128
@@ -74,28 +64,22 @@ def int8_matmul(
     way)."""
     batch, d_in = x.shape
     d_out = w8.shape[1]
-    # Prefer a large divisor block (zero-copy); only when no >=384 divisor
-    # exists (e.g. 11008 = 86·128 → best divisor 256, DMA-latency-bound)
-    # pad to the block grid — the padded weight copy is hoisted out of
-    # decode loops, so it costs memory once, not bandwidth per step.
-    fit_in = _fit_block(d_in, block_in)
-    fit_out = _fit_block(d_out, block_out)
-    block_in = fit_in if fit_in is not None else min(block_in,
-                                                     _round_up(d_in, 128))
-    block_out = fit_out if fit_out is not None and fit_out >= 384 \
-        else min(block_out, _round_up(d_out, 128))
+    # Ragged final blocks: Pallas TPU masks out-of-bounds block reads
+    # (garbage int8 values — finite after widening) and clips OOB
+    # writes, so the WEIGHT is never padded. The old pad path
+    # materialized a padded copy of the whole weight inside the decode
+    # program whenever no >=384 divisor block existed — at the 8B head
+    # (151936 = 128·1187, 1187 prime) that copy cost ~2 ms/step and
+    # dropped the head to 28% of its HBM floor. Only x is padded (rows
+    # of zeros, a few KB): the final in-block's garbage weight rows
+    # multiply those zero activation columns, contributing exactly 0.
+    block_in = min(block_in, _round_up(d_in, 128))
+    block_out = min(block_out, _round_up(d_out, 128))
     in_pad = (-d_in) % block_in
-    out_pad = (-d_out) % block_out
     if in_pad:
         x = jnp.pad(x, ((0, 0), (0, in_pad)))
-        w8 = jnp.pad(w8, ((0, in_pad), (0, 0)))
-    if out_pad:
-        w8 = jnp.pad(w8, ((0, 0), (0, out_pad)))
-        scale = jnp.pad(scale, (0, out_pad))
-    full_out = d_out + out_pad
-    full_in = d_in + in_pad
-    n_in_blocks = full_in // block_in
-    n_out_blocks = full_out // block_out
+    n_in_blocks = (d_in + block_in - 1) // block_in
+    n_out_blocks = (d_out + block_out - 1) // block_out
 
     kernel = functools.partial(_kernel, n_in_blocks=n_in_blocks)
     out = pl.pallas_call(
@@ -107,12 +91,12 @@ def int8_matmul(
             pl.BlockSpec((1, block_out), lambda oi, ii: (0, oi)),
         ],
         out_specs=pl.BlockSpec((1, batch, block_out), lambda oi, ii: (0, 0, oi)),
-        out_shape=jax.ShapeDtypeStruct((1, batch, full_out),
+        out_shape=jax.ShapeDtypeStruct((1, batch, d_out),
                                        out_dtype or x.dtype),
         scratch_shapes=[pltpu.VMEM((batch, block_out), jnp.float32)],
         interpret=interpret,
     )(x[None], w8, scale.astype(jnp.float32)[None])
-    return out[0, :, :d_out]
+    return out[0]
 
 
 def _round_up(value: int, multiple: int) -> int:

@@ -47,12 +47,18 @@ from jax.experimental.pallas import tpu as pltpu
 
 _NEG_INF = -0.7 * float(np.finfo(np.float32).max)
 
-# Tokens per compute chunk: one softmax update covers ~this many kv
-# columns (ceil'd to whole pages), with all the chunk's page DMAs in
-# flight together — amortizing the ~20 us/iteration vector-op overhead a
-# page-at-a-time loop pays at 7B serving shapes while keeping the chunk
-# buffers inside the 16 MB VMEM scoped limit.
-_CHUNK_TOKENS = 512
+# KV BYTES per compute chunk (per pool): pages group into chunks of
+# ppc = _CHUNK_BYTES / page_bytes — one softmax update per chunk with
+# all its page DMAs in flight together, amortizing the ~20 us/iteration
+# vector-op overhead a page-at-a-time loop pays. A BYTE budget (not a
+# token count) is the invariant that transfers across head counts and
+# pool dtypes: 256 KB reproduces the tuned 4-pages/512-token chunk at
+# the 7B read shapes (4 KV heads, int8) AND the measured-best
+# 2-pages/256-token chunk at the 8B reasoning shapes (8 KV heads, int8
+# — the 512-token chunk there ran 107 us/layer vs 87 at 256; round-5
+# sweep). Env-tunable for sweeps.
+_CHUNK_BYTES = int(__import__("os").environ.get(
+    "HOCR_PAGED_CHUNK_BYTES", str(256 * 1024)))
 
 
 def _kernel(layer_ref, tables_ref, start_ref, nvalid_ref,  # scalar prefetch
@@ -252,10 +258,15 @@ def _kernel(layer_ref, tables_ref, start_ref, nvalid_ref,  # scalar prefetch
         # already excludes every such column.
         k = k_buf[buf].astype(jnp.float32).reshape(cols_per_chunk, hkv, d)
         v = v_buf[buf].astype(jnp.float32).reshape(cols_per_chunk, hkv, d)
-        scores = jnp.stack([                       # [Hkv, GT, PPC*BS]
-            jax.lax.dot_general(q[h], k[:, h, :], (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-            for h in range(hkv)])
+        # One batched dot over the head dim (batch dims on BOTH operands)
+        # instead of an unrolled per-head loop: at 8 KV heads the loop's
+        # 2*Hkv small dots cost ~2x the batched form in fixed Mosaic
+        # overhead (round-5 reasoning sweep).
+        k_t = k.transpose(1, 0, 2)                 # [Hkv, PPC*BS, D]
+        v_t = v.transpose(1, 0, 2)
+        scores = jax.lax.dot_general(              # [Hkv, GT, PPC*BS]
+            q, k_t, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
         if quant:
             # Dequantize in SCORE space: scale is per (head, column), so
             # scores *= k_scale[h, col] and later p_exp *= v_scale. The
@@ -293,10 +304,9 @@ def _kernel(layer_ref, tables_ref, start_ref, nvalid_ref,  # scalar prefetch
             # Fold v's dequant into the probabilities AFTER the
             # normalizer sum (l must sum unscaled probabilities).
             p_exp = p_exp * vs
-        pv = jnp.stack([                                  # [Hkv, GT, D]
-            jax.lax.dot_general(p_exp[h], v[:, h, :], (((1,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-            for h in range(hkv)])
+        pv = jax.lax.dot_general(                         # [Hkv, GT, D]
+            p_exp, v_t, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
         acc_ref[...] = acc_ref[...] * correction[..., :d] + pv
         m_ref[...] = m_new
         return ()
@@ -356,7 +366,8 @@ def paged_append_attention(
         raise ValueError(
             f"int8-KV append of {t} tokens exceeds the block size {bs}; "
             "the scale RMW covers at most two pages (t <= block_size)")
-    ppc = max(1, _CHUNK_TOKENS // bs)
+    page_bytes = bs * hkv * d * k_pool.dtype.itemsize
+    ppc = max(1, _CHUNK_BYTES // page_bytes)
     kernel = functools.partial(_kernel, t=t, scale=scale, quant=quant)
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
     n_pools = 4 if quant else 2

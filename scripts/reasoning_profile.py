@@ -46,25 +46,38 @@ PROMPT, BUDGET = 1024, 384          # bench workload -> mean ctx ~1216
 
 
 def sync(x):
+    """REAL queue drain: a 1-element d2h fetch. jax.block_until_ready
+    does NOT synchronize on the axon tunnel (glue_profile's mistake —
+    timings there measured dispatch, not execution)."""
     import jax
-    jax.block_until_ready(x)
+    leaf = jax.tree_util.tree_leaves(x)[0]
+    np.asarray(jax.device_get(leaf.reshape(-1)[:1]))
     return 0.0
 
 
 def loop_time(body, init, ws, iters=N):
+    """Per-iteration time by DIFFERENCING two loop lengths (N and 3N):
+    the d2h sync fetch costs a flat multi-ms on the axon tunnel, so a
+    single-length measurement inflates short loops by pull/N."""
     import jax
 
-    @jax.jit
-    def run(carry, ws):
-        return jax.lax.fori_loop(0, iters, lambda i, c: body(i, c, ws),
-                                 carry)
+    def make(n):
+        @jax.jit
+        def run(carry, ws):
+            return jax.lax.fori_loop(0, n, lambda i, c: body(i, c, ws),
+                                     carry)
+        return run
 
-    out = run(init, ws)
-    sync(out[0] if isinstance(out, tuple) else out)
+    run1, run3 = make(iters), make(3 * iters)
+    sync(run1(init, ws))          # compile
+    sync(run3(init, ws))          # compile
     start = time.perf_counter()
-    out = run(init, ws)
-    sync(out[0] if isinstance(out, tuple) else out)
-    return (time.perf_counter() - start) / iters
+    sync(run1(init, ws))
+    t1 = time.perf_counter() - start
+    start = time.perf_counter()
+    sync(run3(init, ws))
+    t3 = time.perf_counter() - start
+    return max(t3 - t1, 1e-9) / (2 * iters)
 
 
 def main() -> None:
@@ -76,8 +89,9 @@ def main() -> None:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
     assert jax.default_backend() != "cpu", "run on the chip"
 
-    from handwritten_ocr_tpu.models.layers import rms_norm
+    from handwritten_ocr_tpu.models.layers import linear, rms_norm
     from handwritten_ocr_tpu.models.quant import _quantize_linear
+    from handwritten_ocr_tpu.models.qwen25vl.language import lm_logits
 
     report: dict = {"dims": f"{D}h/{LAYERS}L {N_HEADS}:{N_KV} GQA int8",
                     "batch": BATCH}
@@ -90,8 +104,13 @@ def main() -> None:
 
     q_out = N_HEADS * HD
     kv_out = N_KV * HD
+    # Production matmul path: models/layers.linear dispatches the Pallas
+    # int8 kernel at decode lead dims (a raw x @ w_q.astype microbench
+    # materializes widened weights and lands at ~30% SoL — not the op
+    # the engine runs).
     W = {
-        "qkv": q(D, q_out + 2 * kv_out, ks[0]),
+        "q": q(D, q_out, ks[0]), "k": q(D, kv_out, ks[5]),
+        "v": q(D, kv_out, ks[6]),
         "o": q(q_out, D, ks[1]),
         "g": q(D, INTER, ks[2]), "u": q(D, INTER, ks[3]),
         "d": q(INTER, D, ks[4]),
@@ -100,14 +119,14 @@ def main() -> None:
     x0 = jax.random.normal(ks[9], (BATCH, D), jnp.bfloat16)
 
     def mm(w, x):
-        return (x @ w["w_q"].astype(x.dtype)) * w["w_scale"].astype(x.dtype)
+        return linear(w, x)
 
-    # ── 1. layer weight path ─────────────────────────────────────────
+    # ── 1. layer weight path (separate q/k/v + gate/up, as production) ─
     def layer(i, x, ws):
         h = rms_norm(ws["ln"], x, 1e-6)
-        y = mm(ws["qkv"], h)
-        a = y[:, :q_out]
-        x = x + mm(ws["o"], a + y[:, q_out:q_out + 1].sum() * 0)
+        a = mm(ws["q"], h)
+        _k, _v = mm(ws["k"], h), mm(ws["v"], h)
+        x = x + mm(ws["o"], a + _k[:, :1].sum() * 0 + _v[:, :1].sum() * 0)
         h2 = rms_norm(ws["ln"], x, 1e-6)
         gate, up = mm(ws["g"], h2), mm(ws["u"], h2)
         x = x + mm(ws["d"], jax.nn.silu(gate) * up)
@@ -126,14 +145,19 @@ def main() -> None:
           f"({100*layer_floor/t_layer:.1f}% SoL) -> x{LAYERS} = "
           f"{t_layer*LAYERS*1e3:.2f} ms", flush=True)
 
-    # ── 2. lm_head ───────────────────────────────────────────────────
-    WH = {"h": q(D, VOCAB, ks[10]), "ln": W["ln"]}
+    # ── 2. lm_head (production lm_logits: Pallas int8 head) ──────────
+    from handwritten_ocr_tpu.models.qwen3 import Qwen3Config
+    head_cfg = Qwen3Config(vocab_size=VOCAB, hidden_size=D,
+                           intermediate_size=INTER,
+                           num_hidden_layers=LAYERS,
+                           num_attention_heads=N_HEADS,
+                           num_key_value_heads=N_KV, head_dim=HD,
+                           tie_word_embeddings=False)
+    WH = {"lm_head": q(D, VOCAB, ks[10])}
 
     def head(i, x, ws):
-        h = rms_norm(ws["ln"], x, 1e-6)
-        y = (h @ ws["h"]["w_q"].astype(h.dtype)).astype(jnp.float32) \
-            * ws["h"]["w_scale"]
-        nxt = jnp.argmax(y, axis=-1)
+        y = lm_logits(ws, head_cfg, x[:, None, :])
+        nxt = jnp.argmax(y[:, -1], axis=-1)
         return x + nxt[:, None].astype(x.dtype) * jnp.asarray(1e-30, x.dtype)
 
     t_head = loop_time(head, x0, WH)
@@ -175,22 +199,24 @@ def main() -> None:
           "tables": tables, "q": qh, "k": knew, "v": vnew}
 
     def attn_all_layers(i, c, ws):
-        acc, kq_, vq_, ks_, vs_ = c
-
+        # Pools ride the scan carry exactly like paged_forward — so XLA
+        # aliases the in-place kernel updates instead of copying the
+        # multi-GB pools per layer.
         def one_layer(carry, layer_idx):
-            acc = carry
-            out, *_ = paged_append_attention(
+            acc, kq_, vq_, ks_, vs_ = carry
+            out, kq_, vq_, ks_, vs_ = paged_append_attention(
                 ws["q"], ws["k"], ws["v"], kq_, vq_, ws["tables"],
                 starts, n_valid, ks_, vs_, layer=layer_idx,
                 scale=HD ** -0.5)
-            return acc + out.sum().astype(acc.dtype) * \
-                jnp.asarray(1e-30, acc.dtype), None
+            acc = acc + out.sum().astype(acc.dtype) * \
+                jnp.asarray(1e-30, acc.dtype)
+            return (acc, kq_, vq_, ks_, vs_), None
 
-        acc, _ = jax.lax.scan(one_layer, acc, jnp.arange(LAYERS))
-        return acc, kq_, vq_, ks_, vs_
+        c, _ = jax.lax.scan(one_layer, c, jnp.arange(LAYERS))
+        return c
 
     t_attn = loop_time(
-        lambda i, c, ws: attn_all_layers(i, c, ws),
+        attn_all_layers,
         (jnp.zeros((), jnp.float32), kq, vq, kscale, vscale),
         KW, iters=10)
     kv_bytes = 2 * LAYERS * BATCH * width * bs * N_KV * HD  # int8 k+v pages
