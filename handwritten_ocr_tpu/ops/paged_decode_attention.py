@@ -258,15 +258,26 @@ def _kernel(layer_ref, tables_ref, start_ref, nvalid_ref,  # scalar prefetch
         # already excludes every such column.
         k = k_buf[buf].astype(jnp.float32).reshape(cols_per_chunk, hkv, d)
         v = v_buf[buf].astype(jnp.float32).reshape(cols_per_chunk, hkv, d)
-        # One batched dot over the head dim (batch dims on BOTH operands)
-        # instead of an unrolled per-head loop: at 8 KV heads the loop's
-        # 2*Hkv small dots cost ~2x the batched form in fixed Mosaic
-        # overhead (round-5 reasoning sweep).
-        k_t = k.transpose(1, 0, 2)                 # [Hkv, PPC*BS, D]
-        v_t = v.transpose(1, 0, 2)
-        scores = jax.lax.dot_general(              # [Hkv, GT, PPC*BS]
-            q, k_t, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)
+        # Head-dim strategy (both measured, round 5): at >=8 KV heads a
+        # single head-batched dot beats the unrolled per-head loop's
+        # 2*Hkv small-dot Mosaic overhead (8B reasoning: 102 -> 67
+        # us/layer), but the in-VMEM [cols, Hkv, D] -> [Hkv, cols, D]
+        # f32 relayouts it needs cost MORE than the loop saves at 4 KV
+        # heads x 24 slots (7B read: 86 -> 236 us/layer regression), so
+        # few-head shapes keep the loop.
+        batched_heads = hkv >= 8
+        if batched_heads:
+            k_t = k.transpose(1, 0, 2)             # [Hkv, PPC*BS, D]
+            v_t = v.transpose(1, 0, 2)
+            scores = jax.lax.dot_general(          # [Hkv, GT, PPC*BS]
+                q, k_t, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)
+        else:
+            scores = jnp.stack([
+                jax.lax.dot_general(q[h], k[:, h, :],
+                                    (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+                for h in range(hkv)])
         if quant:
             # Dequantize in SCORE space: scale is per (head, column), so
             # scores *= k_scale[h, col] and later p_exp *= v_scale. The
@@ -304,9 +315,16 @@ def _kernel(layer_ref, tables_ref, start_ref, nvalid_ref,  # scalar prefetch
             # Fold v's dequant into the probabilities AFTER the
             # normalizer sum (l must sum unscaled probabilities).
             p_exp = p_exp * vs
-        pv = jax.lax.dot_general(                         # [Hkv, GT, D]
-            p_exp, v_t, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)
+        if batched_heads:
+            pv = jax.lax.dot_general(                     # [Hkv, GT, D]
+                p_exp, v_t, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)
+        else:
+            pv = jnp.stack([
+                jax.lax.dot_general(p_exp[h], v[:, h, :],
+                                    (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+                for h in range(hkv)])
         acc_ref[...] = acc_ref[...] * correction[..., :d] + pv
         m_ref[...] = m_new
         return ()
