@@ -29,26 +29,36 @@ N = 30
 
 
 def sync(x):
-    # block_until_ready, NOT np.asarray: materializing the full activation
-    # pulls ~70 MB over the device tunnel and swamps the timing.
+    """1-element d2h fetch: jax.block_until_ready does NOT synchronize
+    on the axon tunnel (round-5 finding — the old block_until_ready
+    sync here measured dispatch, not execution)."""
     import jax
-    jax.block_until_ready(x)
+    leaf = jax.tree_util.tree_leaves(x)[0]
+    np.asarray(jax.device_get(leaf.reshape(-1)[:1]))
     return 0.0
 
 
 def loop_time(make_body, init, iters=N):
+    """Per-iteration time by differencing two loop lengths (N and 3N) —
+    cancels the flat multi-ms d2h pull cost of the tunnel sync."""
     import jax
 
-    @jax.jit
-    def run(carry):
-        return jax.lax.fori_loop(0, iters, make_body, carry)
+    def make(n):
+        @jax.jit
+        def run(carry):
+            return jax.lax.fori_loop(0, n, make_body, carry)
+        return run
 
-    out = run(init)
-    sync(out[0] if isinstance(out, tuple) else out)
+    run1, run3 = make(iters), make(3 * iters)
+    sync(run1(init))
+    sync(run3(init))
     start = time.perf_counter()
-    out = run(init)
-    sync(out[0] if isinstance(out, tuple) else out)
-    return (time.perf_counter() - start) / iters
+    sync(run1(init))
+    t1 = time.perf_counter() - start
+    start = time.perf_counter()
+    sync(run3(init))
+    t3 = time.perf_counter() - start
+    return max(t3 - t1, 1e-9) / (2 * iters)
 
 
 def main() -> None:
