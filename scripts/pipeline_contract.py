@@ -135,9 +135,30 @@ def phase_read(out_path: str) -> None:
     }))
 
 
+def _synthetic_page_text(index: int, n_chars: int = 2048) -> str:
+    """Deterministic page-length transcript for the agent prompts.
+
+    The read process decodes the REAL 2,048-token budget (its wall is
+    the timed quantity), but random-weight tokens mostly fall outside
+    the byte tokenizer's decodable range, so its text is a few chars —
+    useless as a critic/editor prompt. The agent phase instead carries
+    a synthetic 2,048-char page (1 char = 1 byte-token: the prompt
+    costs the same token count the read produced), preserving the
+    contract's prompt-length economics."""
+    rng = np.random.default_rng(100 + index)
+    words = []
+    total = 0
+    while total < n_chars:
+        length = int(rng.integers(3, 9))
+        word = "".join(chr(97 + c) for c in rng.integers(0, 26, length))
+        words.append(word)
+        total += length + 1
+    return " ".join(words)[:n_chars]
+
+
 class _ReplayOCR:
-    """Replays the read process's transcripts: same text for every
-    strategy (agreement 100 -> no tiebreaker read, the median page)."""
+    """Replays the read phase: same text for every strategy (agreement
+    100 -> no tiebreaker read, the median page)."""
 
     def __init__(self, texts_by_path: dict):
         self.texts = texts_by_path
@@ -242,7 +263,8 @@ def phase_agents(out_path: str, read_path: str, mode: str) -> None:
     inner = JaxReasoningBackend(Qwen3Model(params, cfg), ByteTokenizer())
     caps = TYPICAL_CAPS if mode == "typical" else {}
     llm = _MedianStructureLLM(inner, caps)
-    texts_by_path = {p["path"]: p["texts"] for p in pages}
+    texts_by_path = {p["path"]: [_synthetic_page_text(i)]
+                     for i, p in enumerate(pages)}
     pipe = OCRPipeline(_ReplayOCR(texts_by_path), llm,
                        preprocessor=TPUPreprocessor(), quiet=True)
     run_cfg = RunConfig()           # contract defaults: llm_max_tokens 4096
@@ -294,7 +316,10 @@ def main() -> None:
                        timeout=timeout)
 
     t_start = time.monotonic()
-    run("read", read_out)
+    if read_out.exists() and os.environ.get("HOCR_CONTRACT_REUSE_READ") == "1":
+        print("=== reusing existing read.json ===", flush=True)
+    else:
+        run("read", read_out)
     typical_out = tmp / "agents_typical.json"
     ceiling_out = tmp / "agents_ceiling.json"
     ref = {"HOCR_CONTRACT_READ": str(read_out)}
