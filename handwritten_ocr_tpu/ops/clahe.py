@@ -61,7 +61,15 @@ def clahe(image: jnp.ndarray, clip_limit: float = 3.0,
     luts = jnp.clip(jnp.rint(cdf.astype(jnp.float32) * scale), 0, 255)  # [T, 256]
     luts = luts.reshape(ty, tx, 256)
 
-    # Bilinear interpolation between the 4 surrounding tile LUTs.
+    # Bilinear interpolation between the 4 surrounding tile LUTs,
+    # MXU-formulated: per-pixel 3D LUT gathers serialize on TPU
+    # (measured 34 ms/page of the 1 Mpx chain — round-5
+    # preprocess_profile), so instead every tile's LUT output is
+    # computed for every pixel in ONE one-hot matmul
+    # ``one_hot(px) @ luts^T`` and blended with sparse per-axis weight
+    # matrices (rows of W_y/W_x hold the two bilinear weights at the
+    # neighbor tiles, zero elsewhere). Adding exact zeros leaves f32
+    # sums unchanged, so the result is identical to the 4-gather form.
     ys = jnp.arange(ph, dtype=jnp.float32)
     xs = jnp.arange(pw, dtype=jnp.float32)
     tyf = ys / tile_h - 0.5
@@ -76,15 +84,25 @@ def clahe(image: jnp.ndarray, clip_limit: float = 3.0,
     wy = jnp.where(tyf < 0, 0.0, jnp.where(tyf > ty - 1, 1.0, wy))
     wx = jnp.where(txf < 0, 0.0, jnp.where(txf > tx - 1, 1.0, wx))
 
-    px = padded.astype(jnp.int32)
-    def lut_at(tile_y, tile_x):
-        return luts[tile_y[:, None], tile_x[None, :], px]
-    v00 = lut_at(y0, x0)
-    v01 = lut_at(y0, x1)
-    v10 = lut_at(y1, x0)
-    v11 = lut_at(y1, x1)
-    top = v00 * (1 - wx)[None, :] + v01 * wx[None, :]
-    bottom = v10 * (1 - wx)[None, :] + v11 * wx[None, :]
-    out = top * (1 - wy)[:, None] + bottom * wy[:, None]
+    axis_y = jnp.arange(ty, dtype=jnp.int32)
+    axis_x = jnp.arange(tx, dtype=jnp.int32)
+    w_y = ((axis_y[None] == y0[:, None]) * (1 - wy)[:, None]
+           + (axis_y[None] == y1[:, None]) * wy[:, None])     # [PH, TY]
+    w_x = ((axis_x[None] == x0[:, None]) * (1 - wx)[:, None]
+           + (axis_x[None] == x1[:, None]) * wx[:, None])     # [PW, TX]
+
+    # bf16 one-hot rows (0/1 exact) with f32 accumulation: each row has
+    # exactly one nonzero, so tile_vals holds the integer LUT entries
+    # exactly. ~0.5 GB transient per page — callers batching many pages
+    # should map pages (lax.map), not vmap, through this op.
+    one_hot = jax.nn.one_hot(padded, 256, dtype=jnp.bfloat16)
+    lut_cols = luts.reshape(ty * tx, 256).T.astype(jnp.bfloat16)
+    tile_vals = jax.lax.dot_general(
+        one_hot.reshape(ph * pw, 256), lut_cols,
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                   # [PH*PW, T]
+    tile_vals = tile_vals.reshape(ph, pw, ty, tx)
+    out = jnp.einsum("hwyx,wx->hwy", tile_vals, w_x)
+    out = jnp.einsum("hwy,hy->hw", out, w_y)
     out_u8 = jnp.clip(jnp.rint(out), 0, 255).astype(jnp.uint8)
     return out_u8[:h, :w]
