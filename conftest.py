@@ -64,6 +64,17 @@ _HEAVY_TESTS = {
     # ~17 s: the t=1 interpret-mode int8-KV cell; the t=5 variant is a
     # superset (append + attend over multiple positions) and stays.
     "test_quantized_kv[1-start0-n_valid0]",
+    # ~29 s: interpret-mode int8-KV quality bound; the SAME deterministic
+    # error-bound check runs on real hardware in the on-chip tier
+    # (test_int8_kv_serving_on_chip), and the t=5 quantized_kv cell keeps
+    # the interpret-mode append/attend numerics in the default suite.
+    "test_quantized_attention_close_to_exact",
+    # ~21 s combined: speculation-variant invariances for a DEFAULT-OFF
+    # feature (HOCR_SPEC, round-4 economics decision); the core
+    # greedy-invariance stays default (test_speculative_matches_dense)
+    # and the on-chip tier exercises the verify path every round.
+    "test_guided_speculation_invariance",
+    "test_speculative_mixed_with_plain",
 }
 
 _SLOW_MODULES = {
