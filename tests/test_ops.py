@@ -293,3 +293,67 @@ def test_file_preprocessor_writes_reference_style_temp(tmp_path):
 
     passthrough = prep.apply(str(src), "original")
     assert passthrough.data == str(src)
+
+
+def test_clahe_mxu_formulation_matches_gather_reference():
+    """The MXU-formulated LUT interpolation (one-hot matmul over all 64
+    tile LUTs + sparse bilinear blend, round 5) must reproduce the
+    direct 4-gather bilinear formula exactly: blending over all tiles
+    with exact-zero weights adds nothing to f32 sums."""
+    import jax.numpy as jnp
+
+    from handwritten_ocr_tpu.ops.clahe import clahe
+
+    rng = np.random.default_rng(23)
+    image = rng.integers(0, 256, (93, 121), dtype=np.uint8)
+    got = np.asarray(clahe(jnp.asarray(image)))
+
+    # Reference: same histogram/LUT pipeline, then the direct 4-gather
+    # bilinear interpolation (the pre-round-5 formulation, in numpy).
+    h, w = image.shape
+    ty = tx = 8
+    pad_h = ty - h % ty if (h % ty or w % tx) else 0
+    pad_w = tx - w % tx if (h % ty or w % tx) else 0
+    padded = np.pad(image, [(0, pad_h), (0, pad_w)], mode="reflect")
+    ph, pw = padded.shape
+    th, twd = ph // ty, pw // tx
+    tiles_px = (padded.reshape(ty, th, tx, twd).transpose(0, 2, 1, 3)
+                .reshape(ty * tx, th * twd))
+    hist = np.stack([np.bincount(row, minlength=256) for row in tiles_px])
+    area = th * twd
+    limit = max(int(3.0 * area / 256), 1)
+    clipped = np.minimum(hist, limit)
+    excess = (hist - clipped).sum(axis=1)
+    batch = excess // 256
+    residual = excess - batch * 256
+    redis = clipped + batch[:, None]
+    idx = np.arange(256)
+    step = np.maximum(256 // np.maximum(residual, 1), 1)[:, None]
+    redis = redis + ((idx[None] % step == 0)
+                     & (idx[None] // step < residual[:, None]))
+    cdf = np.cumsum(redis, axis=1)
+    luts = np.clip(np.rint(cdf.astype(np.float32) * (255.0 / area)),
+                   0, 255).reshape(ty, tx, 256)
+    ys = np.arange(ph, dtype=np.float32)
+    xs = np.arange(pw, dtype=np.float32)
+    tyf, txf = ys / th - 0.5, xs / twd - 0.5
+    y0 = np.clip(np.floor(tyf), 0, ty - 1).astype(int)
+    x0 = np.clip(np.floor(txf), 0, tx - 1).astype(int)
+    y1 = np.clip(y0 + 1, 0, ty - 1)
+    x1 = np.clip(x0 + 1, 0, tx - 1)
+    wy = np.clip(tyf - np.floor(tyf), 0.0, 1.0)
+    wx = np.clip(txf - np.floor(txf), 0.0, 1.0)
+    wy = np.where(tyf < 0, 0.0, np.where(tyf > ty - 1, 1.0, wy))
+    wx = np.where(txf < 0, 0.0, np.where(txf > tx - 1, 1.0, wx))
+    px = padded.astype(int)
+    v00 = luts[y0[:, None], x0[None, :], px]
+    v01 = luts[y0[:, None], x1[None, :], px]
+    v10 = luts[y1[:, None], x0[None, :], px]
+    v11 = luts[y1[:, None], x1[None, :], px]
+    top = v00 * (1 - wx)[None, :] + v01 * wx[None, :]
+    bottom = v10 * (1 - wx)[None, :] + v11 * wx[None, :]
+    out = top * (1 - wy)[:, None] + bottom * wy[:, None]
+    ref = np.clip(np.rint(out), 0, 255).astype(np.uint8)[:h, :w]
+
+    mismatch = int((got != ref).sum())
+    assert mismatch == 0, f"{mismatch} pixels differ from gather reference"

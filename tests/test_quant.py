@@ -163,3 +163,36 @@ def test_quantized_linear_kernel_path_matches_fallback(monkeypatch):
     monkeypatch.setenv("HOCR_TPU_INT8", "off")
     fallback_out = np.asarray(linear(quant, x))
     np.testing.assert_allclose(kernel_out, fallback_out, rtol=1e-5, atol=1e-5)
+
+
+def test_int8_matmul_ragged_tail_blocks():
+    """Ragged FINAL blocks (round 5): out-dims like the 8B head's
+    151936 = 128 * 1187 (prime) have no usable block divisor; the
+    kernel must handle a partial final out-block in place instead of
+    padding the weight (the old pad path materialized a padded copy of
+    the whole weight inside the decode program — ~2 ms/step at the
+    real head). Covers tails below one 128-lane tile and the f32-out
+    head mode."""
+    from handwritten_ocr_tpu.ops.int8_matmul import int8_matmul
+    rng = np.random.default_rng(17)
+    for d_in, d_out, block_out in [
+        (256, 1024 + 64, 1024),     # tail 64 < one lane tile
+        (256, 1024 + 704, 1024),    # tail 704, multiple tiles
+        (384, 128 * 7, 512),        # 896 = 512 + ragged 384
+    ]:
+        x = jnp.asarray(rng.standard_normal((3, d_in)).astype(np.float32))
+        w8 = jnp.asarray(rng.integers(-127, 128, (d_in, d_out))
+                         .astype(np.int8))
+        s = jnp.asarray((rng.random(d_out) * 0.02 + 0.001)
+                        .astype(np.float32))
+        expected = (np.asarray(x) @ np.asarray(w8).astype(np.float32)) \
+            * np.asarray(s)
+        got = np.asarray(int8_matmul(x, w8, s, block_out=block_out,
+                                     interpret=True))
+        assert got.shape == (3, d_out)
+        np.testing.assert_allclose(got, expected, rtol=1e-5, atol=1e-4)
+        got_f32 = np.asarray(int8_matmul(x, w8, s, block_out=block_out,
+                                         out_dtype=jnp.float32,
+                                         interpret=True))
+        assert got_f32.dtype == np.float32
+        np.testing.assert_allclose(got_f32, expected, rtol=1e-5, atol=1e-4)
